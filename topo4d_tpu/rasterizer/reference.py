@@ -1,0 +1,171 @@
+"""Pure-JAX oracle Gaussian rasterizer (the semantic contract).
+
+O(N * pixels) per view, processed in pixel-row blocks to bound memory.
+CPU-runnable; backward is plain autodiff through the cumprod blending.
+Production rendering uses the Pallas kernels in ``rasterizer.pallas``,
+which must match this oracle on pixels AND pixel gradients.
+
+See package docstring for the exact blending contract (mirrors CUDA
+diff-gaussian-rasterization forward.cu / ashawkey depth+alpha fork).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from topo4d_tpu.core.camera import Camera
+from topo4d_tpu.core.gaussian import (
+    ALPHA_MAX,
+    ALPHA_MIN,
+    TRANSMITTANCE_MIN,
+    GaussianRenderVars,
+    Projected,
+    project_gaussians,
+)
+
+
+class RenderOutput(NamedTuple):
+    """Mirrors the CUDA renderer's (image, radii, depth, alpha) tuple."""
+
+    image: jnp.ndarray  # (3, H, W)
+    radii: jnp.ndarray  # (N,) int32
+    depth: jnp.ndarray  # (1, H, W)
+    alpha: jnp.ndarray  # (1, H, W)
+
+
+def depth_sorted_order(proj: Projected) -> jnp.ndarray:
+    """Front-to-back Gaussian order: stable sort by view z, culled last.
+
+    The stable (depth, index) key is what makes results bitwise
+    reproducible across chip counts (SURVEY §7 hard part 3).
+    """
+    key = jnp.where(proj.mask, proj.depths, jnp.inf)
+    return jnp.argsort(key, stable=True)
+
+
+def _alpha_at_pixels(
+    pix: jnp.ndarray,  # (P, 2) pixel centers
+    means2d: jnp.ndarray,  # (M, 2)
+    conics: jnp.ndarray,  # (M, 3)
+    opacities: jnp.ndarray,  # (M,)
+    valid: jnp.ndarray,  # (M,)
+) -> jnp.ndarray:
+    """Per (pixel, gaussian) alpha, with the CUDA skip rules -> (P, M)."""
+    d = means2d[None, :, :] - pix[:, None, :]  # (P, M, 2)
+    dx, dy = d[..., 0], d[..., 1]
+    power = (
+        -0.5 * (conics[None, :, 0] * dx * dx + conics[None, :, 2] * dy * dy)
+        - conics[None, :, 1] * dx * dy
+    )
+    alpha = jnp.minimum(ALPHA_MAX, opacities[None, :] * jnp.exp(power))
+    keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & valid[None, :]
+    return jnp.where(keep, alpha, 0.0)
+
+
+def blend_weights(alpha: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Front-to-back blending weights from per-pixel alphas in depth order.
+
+    alpha: (P, M) in front-to-back order along M.
+    Returns (w (P, M), T_final (P,)) where ``w_i = alpha_i * T_before_i``
+    masked by the 1e-4 termination rule, and T_final is the transmittance
+    at which blending stopped (== value the CUDA loop exits with).
+    """
+    one_minus = 1.0 - alpha
+    t_incl = jnp.cumprod(one_minus, axis=-1)  # T after splat i
+    t_excl = jnp.concatenate(
+        [jnp.ones_like(t_incl[..., :1]), t_incl[..., :-1]], axis=-1
+    )  # T before splat i
+    # alpha <= 0.99 => t_incl monotone non-increasing, so "terminated at or
+    # before i" == t_incl_i < 1e-4, and the terminating splat is not drawn.
+    keep = t_incl >= TRANSMITTANCE_MIN
+    w = alpha * t_excl * keep
+    t_final = jnp.min(jnp.where(keep, t_incl, 1.0), axis=-1)
+    return w, t_final
+
+
+def _render_rows(
+    ys: jnp.ndarray,  # (R,) row indices
+    width: int,
+    means2d: jnp.ndarray,
+    conics: jnp.ndarray,
+    colors: jnp.ndarray,
+    depths: jnp.ndarray,
+    opacities: jnp.ndarray,
+    valid: jnp.ndarray,
+    bg: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Render a block of image rows -> (rgb (R, W, 3), depth, alpha)."""
+    xs = jnp.arange(width, dtype=means2d.dtype)
+    pix = jnp.stack(
+        jnp.broadcast_arrays(xs[None, :], ys[:, None].astype(means2d.dtype)),
+        axis=-1,
+    ).reshape(-1, 2)  # (R*W, 2) as (x, y)
+    alpha = _alpha_at_pixels(pix, means2d, conics, opacities, valid)
+    w, t_final = blend_weights(alpha)
+    rgb = w @ colors + t_final[:, None] * bg[None, :]
+    depth = w @ depths[:, None]
+    out_alpha = 1.0 - t_final
+    r = ys.shape[0]
+    return (
+        rgb.reshape(r, width, 3),
+        depth.reshape(r, width),
+        out_alpha.reshape(r, width),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("row_block",))
+def render_gaussians(
+    rv: GaussianRenderVars,
+    cam: Camera,
+    bg: jnp.ndarray | None = None,
+    means2d_offset: jnp.ndarray | None = None,
+    row_block: int = 16,
+) -> RenderOutput:
+    """Render one view with the oracle rasterizer.
+
+    Args:
+      rv: activated Gaussians (see ``core.gaussian.activate_params``).
+      cam: single (unbatched) camera.
+      bg: (3,) background color; defaults to black (reference helpers.py:78).
+      means2d_offset: optional zero (N, 2) tensor whose cotangent carries
+        screen-space gradients (reference's ``means2D`` dummy).
+      row_block: rows per block; bounds the (rows*W, N) working set.
+
+    Returns RenderOutput(image (3,H,W), radii (N,), depth (1,H,W),
+    alpha (1,H,W)) matching the CUDA tuple at reference train.py:307.
+    """
+    if bg is None:
+        bg = jnp.zeros(3, dtype=jnp.float32)
+    proj = project_gaussians(rv, cam, means2d_offset)
+    order = depth_sorted_order(proj)
+
+    means2d = proj.means2d[order]
+    conics = proj.conics[order]
+    colors = rv.colors[order]
+    depths = proj.depths[order]
+    opacities = rv.opacities[order]
+    valid = proj.mask[order]
+
+    h, w = cam.height, cam.width
+    pad_h = (-h) % row_block
+    all_ys = jnp.arange(h + pad_h).reshape(-1, row_block)
+
+    def body(ys):
+        return _render_rows(
+            ys, w, means2d, conics, colors, depths, opacities, valid, bg
+        )
+
+    rgb, depth, alpha = jax.lax.map(body, all_ys)
+    rgb = rgb.reshape(-1, w, 3)[:h]
+    depth = depth.reshape(-1, w)[:h]
+    alpha = alpha.reshape(-1, w)[:h]
+    return RenderOutput(
+        image=jnp.transpose(rgb, (2, 0, 1)),
+        radii=proj.radii,
+        depth=depth[None],
+        alpha=alpha[None],
+    )
