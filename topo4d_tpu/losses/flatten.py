@@ -1,0 +1,215 @@
+"""Flatten (dihedral-angle) loss family.
+
+Reference semantics: loss_util.py:114-371. The shared-edge quadruple
+precompute is a one-off host-side NumPy step (vectorized here — the
+reference's Python loops take O(E^2)-ish time); the per-step forward is a
+handful of jnp gathers, jit-friendly.
+
+Three variants, all used by train.py:511-533:
+- ``flatten_loss``: hard dihedral penalty, (cos+1)^2 with cos>threshold
+  snapped to -1 (FlattenLoss, loss_util.py:114-220).
+- ``soft_flatten_loss``: penalty on deviation from *initial* dihedral
+  angles, 1 - cos|theta - theta_init| (SoftFlattenLoss, loss_util.py:262-371).
+- ``umbrella_flatten_loss``: MSE between a vertex and the mean of its
+  one-ring, over a region mask (FlattenLoss_v2, loss_util.py:223-260).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class DihedralQuadruples(NamedTuple):
+    """Shared-edge quadruples (v0, v1) edge with opposite verts (v2, v3)."""
+
+    v0: np.ndarray
+    v1: np.ndarray
+    v2: np.ndarray
+    v3: np.ndarray
+
+
+def build_dihedral_quadruples(faces: np.ndarray) -> DihedralQuadruples:
+    """Vectorized port of the FlattenLoss constructor (loss_util.py:121-169).
+
+    Candidate edges are (f0,f1) and (f1,f2) of each triangle — NOT (f0,f2) —
+    reproducing the reference's candidate set exactly. An edge is kept iff
+    exactly two faces of ``faces`` contain both endpoints; v2/v3 are the
+    third vertices of those two faces in ascending face-id order.
+    """
+    faces = np.asarray(faces, np.int64)
+    cand = np.sort(
+        np.concatenate([faces[:, 0:2], faces[:, 1:3]], axis=0), axis=1
+    )
+    cand = np.unique(cand, axis=0)
+
+    # All (edge, face) incidences: face contains both endpoints of the edge.
+    # Build via sorted edge keys of every unordered vertex pair within a face.
+    f_pairs = np.concatenate(
+        [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [0, 2]]], axis=0
+    )
+    f_pairs = np.sort(f_pairs, axis=1)
+    face_ids = np.tile(np.arange(faces.shape[0]), 3)
+
+    nmax = int(faces.max()) + 1
+    cand_keys = cand[:, 0] * nmax + cand[:, 1]
+    pair_keys = f_pairs[:, 0] * nmax + f_pairs[:, 1]
+
+    order = np.argsort(pair_keys, kind="stable")
+    pair_keys_s = pair_keys[order]
+    face_ids_s = face_ids[order]
+    # Secondary sort by face id within equal keys (ascending face-id order).
+    order2 = np.lexsort((face_ids_s, pair_keys_s))
+    pair_keys_s = pair_keys_s[order2]
+    face_ids_s = face_ids_s[order2]
+
+    left = np.searchsorted(pair_keys_s, cand_keys, side="left")
+    right = np.searchsorted(pair_keys_s, cand_keys, side="right")
+    count = right - left
+
+    keep = count == 2
+    v0 = cand[keep, 0]
+    v1 = cand[keep, 1]
+    fa = face_ids_s[left[keep]]
+    fb = face_ids_s[left[keep] + 1]
+
+    def third_vertex(face_rows, a, b):
+        f = faces[face_rows]
+        mask = (f != a[:, None]) & (f != b[:, None])
+        # exactly one True per row for triangles
+        return f[np.arange(f.shape[0]), np.argmax(mask, axis=1)]
+
+    v2 = third_vertex(fa, v0, v1)
+    v3 = third_vertex(fb, v0, v1)
+    return DihedralQuadruples(
+        v0.astype(np.int32), v1.astype(np.int32),
+        v2.astype(np.int32), v3.astype(np.int32),
+    )
+
+
+def dihedral_cos(
+    vertices: jnp.ndarray, quads: DihedralQuadruples, eps: float = 1e-6
+) -> jnp.ndarray:
+    """Cosine of the dihedral angle across each shared edge -> (E,).
+
+    The double-projection formulation of loss_util.py:171-208: project the
+    two opposite vertices onto the plane orthogonal to the shared edge and
+    take the cosine between the residuals.
+    """
+    v0 = vertices[jnp.asarray(quads.v0)]
+    v1 = vertices[jnp.asarray(quads.v1)]
+    v2 = vertices[jnp.asarray(quads.v2)]
+    v3 = vertices[jnp.asarray(quads.v3)]
+
+    def residual(a, b):
+        al2 = jnp.sum(a * a, axis=-1)
+        bl2 = jnp.sum(b * b, axis=-1)
+        al1 = jnp.sqrt(al2 + eps)
+        bl1 = jnp.sqrt(bl2 + eps)
+        ab = jnp.sum(a * b, axis=-1)
+        cos = ab / (al1 * bl1 + eps)
+        sin = jnp.sqrt(1 - cos**2 + eps)
+        c = a * (ab / (al2 + eps))[..., None]
+        cb = b - c
+        cbl1 = bl1 * sin
+        return cb, cbl1
+
+    a = v1 - v0
+    cb1, cb1l1 = residual(a, v2 - v0)
+    cb2, cb2l1 = residual(a, v3 - v0)
+    return jnp.sum(cb1 * cb2, axis=-1) / (cb1l1 * cb2l1 + eps)
+
+
+def flatten_loss(
+    vertices: jnp.ndarray,
+    quads: DihedralQuadruples,
+    threshold_deg: float = 0.0,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """Hard flatten penalty sum (cos+1)^2 (FlattenLoss.forward)."""
+    cos = dihedral_cos(vertices, quads, eps)
+    threshold = math.cos(threshold_deg * math.pi / 180.0)
+    cos = jnp.where(cos > threshold, -1.0, cos)
+    return jnp.sum((cos + 1.0) ** 2)
+
+
+def soft_flatten_loss(
+    vertices: jnp.ndarray,
+    quads: DihedralQuadruples,
+    cos_init: Optional[jnp.ndarray] = None,
+    eps: float = 1e-6,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Soft flatten penalty vs initial dihedral angles (SoftFlattenLoss).
+
+    Returns (loss, current cosines) so frame 0 can cache the init angles
+    (reference train.py:364-368).
+    """
+    cos = dihedral_cos(vertices, quads, eps)
+    if cos_init is not None:
+        loss = jnp.sum(
+            1.0
+            - jnp.cos(
+                jnp.abs(
+                    jnp.arccos(jnp.clip(cos, -1.0, 1.0))
+                    - jnp.arccos(jnp.clip(cos_init, -1.0, 1.0))
+                )
+            )
+        )
+    else:
+        loss = jnp.sum((cos + 1.0) ** 2)
+    # The cached cosines are detached in the reference (loss_util.py:357).
+    return loss, jax.lax.stop_gradient(cos)
+
+
+class UmbrellaFlatten(NamedTuple):
+    """Precomputed state for FlattenLoss_v2 (loss_util.py:223-251)."""
+
+    neighbor_indices: np.ndarray  # (N, K) padded with self
+    neighbor_mask: np.ndarray  # (N, K) 1 for real neighbors
+    neighbor_num: np.ndarray  # (N,)
+    region: np.ndarray  # (R,) vertex indices the MSE runs over
+
+
+def build_umbrella_flatten(
+    neighbor_indices_ragged: Sequence[Sequence[int]],
+    num_vertices: int,
+    region: Optional[Sequence[int]] = None,
+    ex_mask: Sequence[int] = (),
+) -> UmbrellaFlatten:
+    """Build padded one-ring state + region selection.
+
+    ``region=None`` means all vertices (the reference's empty-mask
+    fallback, loss_util.py:248-249).
+    """
+    max_k = max(len(lst) for lst in neighbor_indices_ragged)
+    idx = np.zeros((num_vertices, max_k), np.int32)
+    msk = np.zeros((num_vertices, max_k), np.float32)
+    num = np.zeros((num_vertices,), np.float32)
+    for i, lst in enumerate(neighbor_indices_ragged):
+        k = len(lst)
+        idx[i, :k] = lst
+        idx[i, k:] = i
+        msk[i, :k] = 1.0
+        num[i] = k
+    if region is None:
+        reg = np.arange(num_vertices)
+    else:
+        reg = np.asarray(sorted(set(int(r) for r in region) - set(ex_mask)))
+        if reg.size == 0:
+            reg = np.arange(num_vertices)
+    return UmbrellaFlatten(idx, msk, num, reg.astype(np.int32))
+
+
+def umbrella_flatten_loss(
+    vertices: jnp.ndarray, state: UmbrellaFlatten
+) -> jnp.ndarray:
+    """MSE(mean of one-ring, vertex) over the region (FlattenLoss_v2.forward)."""
+    nbr = vertices[jnp.asarray(state.neighbor_indices)]  # (N, K, 3)
+    nbr = nbr * jnp.asarray(state.neighbor_mask)[..., None]
+    ave = jnp.sum(nbr, axis=1) / jnp.asarray(state.neighbor_num)[:, None]
+    reg = jnp.asarray(state.region)
+    return jnp.mean((ave[reg] - vertices[reg]) ** 2)

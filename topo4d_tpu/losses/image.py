@@ -1,0 +1,115 @@
+"""Photometric losses: L1 family, SSIM, PSNR (pure jnp / lax).
+
+Reference semantics: helpers.py:115-131 (L1/L2 variants),
+external.py:64-116 (SSIM via 11x11 Gaussian-window grouped conv, PSNR).
+Images are channel-first (C, H, W) like the rasterizer output.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def l1_loss(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """mean |x - y| (reference ``l1_loss_v1``)."""
+    return jnp.mean(jnp.abs(x - y))
+
+
+def l1_loss_sum_last(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """mean over leading dims of sum_|last| |x - y| (reference ``l1_loss_v2``)."""
+    return jnp.mean(jnp.sum(jnp.abs(x - y), axis=-1))
+
+
+def l2_loss(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """mean sqrt((x - y)^2 + 1e-20) (reference ``l2_loss``)."""
+    return jnp.mean(jnp.sqrt((x - y) ** 2 + 1e-20))
+
+
+def weighted_l2_loss_v1(x, y, w):
+    """mean sqrt((x - y)^2 * w + 1e-20) (reference helpers.py:126-127)."""
+    return jnp.mean(jnp.sqrt((x - y) ** 2 * w + 1e-20))
+
+
+def weighted_l2_loss_v2(x, y, w):
+    """mean sqrt(sum_last((x - y)^2) * w + 1e-20) (reference helpers.py:130-131)."""
+    return jnp.mean(jnp.sqrt(jnp.sum((x - y) ** 2, axis=-1) * w + 1e-20))
+
+
+def mse(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
+    """Per-leading-dim MSE (reference ``calc_mse``): (C, ...) -> (C, 1)."""
+    d = (img1 - img2) ** 2
+    return d.reshape(d.shape[0], -1).mean(axis=1, keepdims=True)
+
+
+def psnr(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
+    """20 log10(1 / sqrt(mse)) per leading dim (reference ``calc_psnr``)."""
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(mse(img1, img2)))
+
+
+@functools.lru_cache(maxsize=8)
+def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
+    """Normalized separable Gaussian window (reference external.py:73-82)."""
+    xs = np.arange(window_size) - window_size // 2
+    g = np.exp(-(xs**2) / (2.0 * sigma**2))
+    g /= g.sum()
+    return np.outer(g, g).astype(np.float32)
+
+
+def _window_conv(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise 'same' conv of (C, H, W) with a (k, k) window."""
+    c = img.shape[0]
+    k = window.shape[0]
+    lhs = img[None]  # (1, C, H, W)
+    rhs = jnp.broadcast_to(window[None, None], (c, 1, k, k))
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(1, 1),
+        padding=[(k // 2, k // 2), (k // 2, k // 2)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=c,
+    )
+    return out[0]
+
+
+def ssim(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    window_size: int = 11,
+    sigma: float = 1.5,
+    size_average: bool = True,
+) -> jnp.ndarray:
+    """SSIM of (C, H, W) images (reference ``calc_ssim``/``_ssim``).
+
+    Identical to the torch version: depthwise Gaussian conv with zero
+    'same' padding (border bias included), c1=0.01^2, c2=0.03^2.
+    """
+    window = jnp.asarray(_gaussian_window(window_size, sigma))
+    mu1 = _window_conv(img1, window)
+    mu2 = _window_conv(img2, window)
+    mu1_sq = mu1 * mu1
+    mu2_sq = mu2 * mu2
+    mu1_mu2 = mu1 * mu2
+    sigma1_sq = _window_conv(img1 * img1, window) - mu1_sq
+    sigma2_sq = _window_conv(img2 * img2, window) - mu2_sq
+    sigma12 = _window_conv(img1 * img2, window) - mu1_mu2
+    c1, c2 = 0.01**2, 0.03**2
+    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
+    )
+    if size_average:
+        return ssim_map.mean()
+    return ssim_map.mean(axis=(1, 2))
+
+
+def photometric_loss(
+    pred: jnp.ndarray, target: jnp.ndarray, l1_weight: float = 0.8
+) -> jnp.ndarray:
+    """The reference image loss 0.8 L1 + 0.2 (1 - SSIM) (train.py:315)."""
+    return l1_weight * l1_loss(pred, target) + (1.0 - l1_weight) * (
+        1.0 - ssim(pred, target)
+    )
