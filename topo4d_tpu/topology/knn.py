@@ -1,0 +1,48 @@
+"""Brute-force k-nearest-neighbor distances (replaces Open3D KDTree, SURVEY N3).
+
+Used only at init to size the Gaussians (reference helpers.py:147-157,
+train.py:132/245: k=1 for the 8.3k geometry verts, k=4 for the ~300k dense
+verts). Tiled jnp distance matrix: O(N*M) but MXU/VPU-friendly and exact.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def knn_sq_dists(points: np.ndarray, k: int, block: int = 4096) -> np.ndarray:
+    """Squared distances to each point's k nearest OTHER points -> (N, k).
+
+    Matches o3d_knn's exclusion of the query point itself
+    (helpers.py:154 takes neighbors [1:]).
+    """
+    pts = jnp.asarray(points, jnp.float32)
+    n = pts.shape[0]
+    k_eff = min(k, n - 1)
+
+    @jax.jit
+    def block_knn(query):
+        # (B, N) squared distances
+        d = (
+            jnp.sum(query**2, axis=1, keepdims=True)
+            - 2.0 * query @ pts.T
+            + jnp.sum(pts**2, axis=1)[None, :]
+        )
+        # exclude self by masking exact-zero matches of the diagonal later;
+        # use top-k on negated distances
+        neg, _ = jax.lax.top_k(-d, k_eff + 1)
+        return -neg  # ascending: first is self (0)
+
+    out = np.empty((n, k_eff), np.float32)
+    for start in range(0, n, block):
+        q = pts[start : start + block]
+        d = np.asarray(block_knn(q))
+        out[start : start + q.shape[0]] = d[:, 1 : k_eff + 1]
+    return np.maximum(out, 0.0)
+
+
+def mean_knn_sq_dist(points: np.ndarray, k: int) -> np.ndarray:
+    """Mean of k-NN squared distances, clipped (reference train.py:133)."""
+    return knn_sq_dists(points, k).mean(axis=-1).clip(min=1e-7)
