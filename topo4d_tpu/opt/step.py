@@ -1,0 +1,176 @@
+"""The fused geometry train step: render -> losses -> Adam -> constraints.
+
+The reference pays Python dispatch per iteration (train.py:661-700: loss
+assembly, backward, optimizer step, then ~10 region tensor writes under
+no_grad). Here the whole iteration is ONE jitted function; the LR schedule
+and loss weights are traced inputs so phase changes never recompile, and
+the post-step region freezes are scatters fused into the same executable
+(SURVEY §7 layer 4).
+
+Phases (static):
+- "init": frame-0 fit — photometric + scale/scale_max (train.py:360-363)
+  + soft-flatten losses whose current dihedral cosines are returned for
+  caching (train.py:364-368).
+- "track": frames>0 — photometric + rigid/rot/iso + the 9 flatten losses
+  (train.py:330-357).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from topo4d_tpu.core.camera import Camera
+from topo4d_tpu.core.gaussian import GaussianRenderVars, activate_params
+from topo4d_tpu.losses.flatten import (
+    DihedralQuadruples,
+    UmbrellaFlatten,
+    flatten_loss,
+    soft_flatten_loss,
+    umbrella_flatten_loss,
+)
+from topo4d_tpu.losses.image import photometric_loss, psnr
+from topo4d_tpu.losses.temporal import TemporalPriors, rigid_rot_iso_losses
+from topo4d_tpu.opt.adam import AdamState, adam_update
+from topo4d_tpu.opt.constraints import ScatterConstraint, apply_constraints
+
+SOFT_FLATTEN_KEYS = ("flat_lid_top", "flat_lid_bottom", "flat_lip", "flat_mouth")
+HARD_FLATTEN_KEYS = ("flat", "flat_lip_bottom")
+UMBRELLA_KEYS = ("flat_eye", "flat_lip_socket", "flat_face_bottom")
+
+
+class GeometryPriors(NamedTuple):
+    """Per-run constants + per-timestep temporal caches (all traced)."""
+
+    neighbor_indices: jnp.ndarray  # (N, K)
+    neighbor_dist: jnp.ndarray  # (N, K)
+    iso_w: jnp.ndarray  # (N, K)
+    rig_w: jnp.ndarray  # (N, K)
+    rot_w: jnp.ndarray  # (N, K)
+    init_scale: jnp.ndarray  # (N,) sqrt(mean knn sq dist)
+    temporal: TemporalPriors
+    cos_init: Dict[str, jnp.ndarray]  # soft-flatten initial cosines
+
+
+class TrainState(NamedTuple):
+    params: Dict[str, jnp.ndarray]
+    opt: AdamState
+    max_2d_radius: jnp.ndarray  # (N,) float — densification statistic
+
+
+def make_geometry_step(
+    quadruples: Dict[str, DihedralQuadruples],
+    umbrellas: Dict[str, UmbrellaFlatten],
+    render_fn: Callable[[GaussianRenderVars, Camera], object],
+) -> Callable:
+    """Build the jitted step. ``render_fn(rv, cam) -> RenderOutput``.
+
+    ``quadruples``/``umbrellas`` hold the host-precomputed flatten index
+    sets (missing keys simply drop that loss, like the reference's
+    ``is not None`` guards at train.py:349-357).
+    """
+
+    def loss_fn(
+        params: Dict[str, jnp.ndarray],
+        gt: jnp.ndarray,
+        cam: Camera,
+        view_id: jnp.ndarray,
+        priors: GeometryPriors,
+        weights: Dict[str, jnp.ndarray],
+        phase: str,
+    ):
+        rv = activate_params(params)
+        out = render_fn(rv, cam)
+        im = (
+            jnp.exp(params["cam_m"][view_id])[:, None, None] * out.image
+            + params["cam_c"][view_id][:, None, None]
+        )
+        losses: Dict[str, jnp.ndarray] = {
+            "im": photometric_loss(im, gt)
+        }
+        new_cos: Dict[str, jnp.ndarray] = dict(priors.cos_init)
+
+        if phase == "init":
+            min_scale = jnp.min(rv.scales, axis=1)
+            losses["scale"] = jnp.sum(min_scale)
+            max_scale = jnp.max(rv.scales, axis=1)
+            losses["scale_max"] = jnp.sum(
+                jax.nn.relu(max_scale - priors.init_scale * 1.5)
+            )
+            for key in SOFT_FLATTEN_KEYS:
+                if key in quadruples:
+                    losses[key], new_cos[key] = soft_flatten_loss(
+                        rv.means3d, quadruples[key]
+                    )
+        else:
+            temporal = rigid_rot_iso_losses(
+                rv.means3d,
+                rv.rotations,
+                priors.temporal,
+                priors.neighbor_indices,
+                priors.neighbor_dist,
+                priors.rig_w,
+                priors.rot_w,
+                priors.iso_w,
+            )
+            losses.update(temporal)
+            for key in HARD_FLATTEN_KEYS:
+                if key in quadruples:
+                    losses[key] = flatten_loss(rv.means3d, quadruples[key])
+            for key in UMBRELLA_KEYS:
+                if key in umbrellas:
+                    losses[key] = umbrella_flatten_loss(rv.means3d, umbrellas[key])
+            for key in SOFT_FLATTEN_KEYS:
+                if key in quadruples:
+                    losses[key], _ = soft_flatten_loss(
+                        rv.means3d, quadruples[key], cos_init=priors.cos_init[key]
+                    )
+
+        total = sum(
+            weights[k] * v for k, v in losses.items() if k in weights
+        )
+        aux = (losses, new_cos, out.radii, im)
+        return total, aux
+
+    @functools.partial(jax.jit, static_argnames=("phase",))
+    def step(
+        state: TrainState,
+        gt: jnp.ndarray,  # (3, H, W) target for the chosen view
+        cams: Camera,  # batched cameras
+        view_id: jnp.ndarray,  # () int32
+        priors: GeometryPriors,
+        constraints: Sequence[ScatterConstraint],
+        lr: Dict[str, jnp.ndarray],
+        weights: Dict[str, jnp.ndarray],
+        phase: str,
+    ) -> Tuple[TrainState, GeometryPriors, Dict[str, jnp.ndarray]]:
+        cam = cams[view_id]
+        (total, (losses, new_cos, radii, im)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, gt, cam, view_id, priors, weights, phase)
+
+        new_params, new_opt = adam_update(state.params, grads, state.opt, lr)
+        new_params = apply_constraints(new_params, constraints)
+
+        seen = radii > 0
+        max_radius = jnp.where(
+            seen,
+            jnp.maximum(radii.astype(jnp.float32), state.max_2d_radius),
+            state.max_2d_radius,
+        )
+
+        metrics = {("loss_" + k): v for k, v in losses.items()}
+        metrics["loss_total"] = total
+        metrics["psnr"] = jnp.mean(psnr(im, gt))
+
+        new_priors = priors._replace(cos_init=new_cos)
+        return (
+            TrainState(params=new_params, opt=new_opt, max_2d_radius=max_radius),
+            new_priors,
+            metrics,
+        )
+
+    return step
