@@ -86,6 +86,10 @@ def test_render_full_image_matches_sequential(scene):
 
     proj = project_gaussians(rv, cam)
     order = depth_sorted_order(proj)
+    from topo4d_tpu.rasterizer.tiles import tile_rect
+
+    rx0, ry0, rx1, ry1, _, _ = tile_rect(proj, cam.width, cam.height)
+    rect = tuple(np.asarray(r)[order] for r in (rx0, ry0, rx1, ry1))
     ys, xs = np.meshgrid(np.arange(5, 20, 7), np.arange(3, 45, 11), indexing="ij")
     pix = np.stack([xs.ravel(), ys.ravel()], axis=-1).astype(np.float32)
     rgb_seq, dep_seq, a_seq = sequential_blend_numpy(
@@ -97,6 +101,7 @@ def test_render_full_image_matches_sequential(scene):
         np.asarray(rv.opacities)[order],
         np.asarray(proj.mask)[order],
         bg,
+        rect=rect,
     )
     img = np.asarray(out.image)
     for i, (x, y) in enumerate(pix.astype(int)):

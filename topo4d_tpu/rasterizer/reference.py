@@ -26,6 +26,7 @@ from topo4d_tpu.core.gaussian import (
     Projected,
     project_gaussians,
 )
+from topo4d_tpu.rasterizer.tiles import TILE, tile_rect
 
 
 class RenderOutput(NamedTuple):
@@ -53,16 +54,37 @@ def _alpha_at_pixels(
     conics: jnp.ndarray,  # (M, 3)
     opacities: jnp.ndarray,  # (M,)
     valid: jnp.ndarray,  # (M,)
+    rect: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
 ) -> jnp.ndarray:
-    """Per (pixel, gaussian) alpha, with the CUDA skip rules -> (P, M)."""
+    """Per (pixel, gaussian) alpha, with the CUDA skip rules -> (P, M).
+
+    ``rect`` = per-gaussian touched tile rect (x0, y0, x1, y1) in tile
+    units: CUDA only blends a splat inside its 3-sigma TILE rect, so a
+    pixel outside it never sees the splat even if alpha would exceed
+    1/255 there. Pass None to disable (pure-math mode).
+    """
     d = means2d[None, :, :] - pix[:, None, :]  # (P, M, 2)
     dx, dy = d[..., 0], d[..., 1]
     power = (
         -0.5 * (conics[None, :, 0] * dx * dx + conics[None, :, 2] * dy * dy)
         - conics[None, :, 1] * dx * dy
     )
-    alpha = jnp.minimum(ALPHA_MAX, opacities[None, :] * jnp.exp(power))
+    raw = opacities[None, :] * jnp.exp(power)
+    # Straight-through 0.99 clamp: the CUDA backward ignores the min()
+    # when differentiating (backward.cu computes dL_dG = opacity * dL_dalpha
+    # unconditionally), so gradients flow as if unclamped.
+    alpha = raw + jax.lax.stop_gradient(jnp.minimum(ALPHA_MAX, raw) - raw)
     keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & valid[None, :]
+    if rect is not None:
+        x0, y0, x1, y1 = rect
+        tx = jnp.floor(pix[:, 0] / TILE).astype(jnp.int32)[:, None]
+        ty = jnp.floor(pix[:, 1] / TILE).astype(jnp.int32)[:, None]
+        keep = keep & (
+            (tx >= x0[None, :])
+            & (tx < x1[None, :])
+            & (ty >= y0[None, :])
+            & (ty < y1[None, :])
+        )
     return jnp.where(keep, alpha, 0.0)
 
 
@@ -97,6 +119,7 @@ def _render_rows(
     opacities: jnp.ndarray,
     valid: jnp.ndarray,
     bg: jnp.ndarray,
+    rect,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Render a block of image rows -> (rgb (R, W, 3), depth, alpha)."""
     xs = jnp.arange(width, dtype=means2d.dtype)
@@ -104,7 +127,7 @@ def _render_rows(
         jnp.broadcast_arrays(xs[None, :], ys[:, None].astype(means2d.dtype)),
         axis=-1,
     ).reshape(-1, 2)  # (R*W, 2) as (x, y)
-    alpha = _alpha_at_pixels(pix, means2d, conics, opacities, valid)
+    alpha = _alpha_at_pixels(pix, means2d, conics, opacities, valid, rect)
     w, t_final = blend_weights(alpha)
     rgb = w @ colors + t_final[:, None] * bg[None, :]
     depth = w @ depths[:, None]
@@ -149,6 +172,8 @@ def render_gaussians(
     depths = proj.depths[order]
     opacities = rv.opacities[order]
     valid = proj.mask[order]
+    rx0, ry0, rx1, ry1, _, _ = tile_rect(proj, cam.width, cam.height)
+    rect = (rx0[order], ry0[order], rx1[order], ry1[order])
 
     h, w = cam.height, cam.width
     pad_h = (-h) % row_block
@@ -156,7 +181,7 @@ def render_gaussians(
 
     def body(ys):
         return _render_rows(
-            ys, w, means2d, conics, colors, depths, opacities, valid, bg
+            ys, w, means2d, conics, colors, depths, opacities, valid, bg, rect
         )
 
     rgb, depth, alpha = jax.lax.map(body, all_ys)

@@ -119,10 +119,13 @@ def sequential_blend_numpy(
     opacities: np.ndarray,  # (M,)
     valid: np.ndarray,  # (M,)
     bg: np.ndarray,  # (3,)
+    rect=None,  # optional (x0, y0, x1, y1) tile rects, tile units
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Literal sequential port of the CUDA per-pixel blending loop.
 
     Independent of the cumprod formulation — used to prove equivalence.
+    ``rect`` enables CUDA's tile-rect culling (a splat is only blended by
+    pixels whose 16x16 tile lies in the splat's touched-tile rect).
     Returns (rgb (P,3), depth (P,), alpha (P,)).
     """
     p = pix.shape[0]
@@ -133,9 +136,15 @@ def sequential_blend_numpy(
         t = 1.0
         c = np.zeros(3)
         d = 0.0
+        ptx = int(np.floor(pix[pi, 0] / 16.0))
+        pty = int(np.floor(pix[pi, 1] / 16.0))
         for gi in range(means2d.shape[0]):
             if not valid[gi]:
                 continue
+            if rect is not None:
+                x0, y0, x1, y1 = rect
+                if not (x0[gi] <= ptx < x1[gi] and y0[gi] <= pty < y1[gi]):
+                    continue
             dx = means2d[gi, 0] - pix[pi, 0]
             dy = means2d[gi, 1] - pix[pi, 1]
             power = (
