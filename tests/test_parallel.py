@@ -1,0 +1,138 @@
+"""View-sharded batched step on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from topo4d_tpu.core.gaussian import activate_params
+from topo4d_tpu.opt.adam import adam_init
+from topo4d_tpu.opt.step import GeometryPriors, TrainState
+from topo4d_tpu.losses.temporal import TemporalPriors
+from topo4d_tpu.parallel.batched import make_batched_geometry_step
+from topo4d_tpu.parallel.mesh import make_view_mesh, replicated, shard_view_batch
+from topo4d_tpu.rasterizer.tiled import render_gaussians_tiled
+from topo4d_tpu.rasterizer.reference import render_gaussians
+from topo4d_tpu.testing import make_head_fixture
+
+
+def small_setup(v=8, w=48, h=32):
+    params_np, cams, (verts, faces) = make_head_fixture(
+        rows=8, cols=8, num_views=v, width=w, height=h
+    )
+    n = verts.shape[0]
+    params = {k: jnp.asarray(x) for k, x in params_np.items()}
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(0, 1, (v, 3, h, w)).astype(np.float32))
+    priors = GeometryPriors(
+        neighbor_indices=jnp.zeros((n, 4), jnp.int32),
+        neighbor_dist=jnp.zeros((n, 4)),
+        iso_w=jnp.zeros((n, 4)),
+        rig_w=jnp.zeros((n, 4)),
+        rot_w=jnp.zeros((n, 4)),
+        init_scale=jnp.full((n,), 0.05),
+        temporal=TemporalPriors(
+            prev_inv_rot=jnp.zeros((n, 4)), prev_offset=jnp.zeros((n, 4, 3))
+        ),
+        cos_init={},
+    )
+    state = TrainState(params=params, opt=adam_init(params), max_2d_radius=jnp.zeros(n))
+    lr = {k: jnp.asarray(1e-3, jnp.float32) for k in params}
+    weights = {"im": 1.0, "scale": 0.0, "scale_max": 0.0}
+    return params, cams, images, priors, state, lr, weights
+
+
+def render_fn(rv, cam):
+    return render_gaussians_tiled(rv, cam, max_span=4, capacity=128)
+
+
+def test_batched_step_runs_sharded():
+    assert len(jax.devices()) >= 8
+    params, cams, images, priors, state, lr, weights = small_setup()
+    step = make_batched_geometry_step({}, {}, render_fn)
+    mesh = make_view_mesh(8)
+    with mesh:
+        images_s = shard_view_batch(mesh, images)
+        cams_s = shard_view_batch(mesh, cams)
+        state_r = replicated(mesh, state)
+        priors_r = replicated(mesh, priors)
+        new_state, _, metrics = step(
+            state_r, images_s, cams_s, priors_r, [], lr, weights, "init"
+        )
+    assert np.isfinite(float(metrics["loss_total"]))
+    # params changed
+    delta = float(
+        jnp.max(jnp.abs(new_state.params["rgb_colors"] - params["rgb_colors"]))
+    )
+    assert delta > 0
+
+
+def test_batched_step_matches_unsharded():
+    """Sharded and single-device execution must agree numerically."""
+    params, cams, images, priors, state, lr, weights = small_setup()
+    step = make_batched_geometry_step({}, {}, render_fn)
+
+    new_state_1, _, m1 = step(state, images, cams, priors, [], lr, weights, "init")
+
+    mesh = make_view_mesh(8)
+    with mesh:
+        images_s = shard_view_batch(mesh, images)
+        cams_s = shard_view_batch(mesh, cams)
+        new_state_8, _, m8 = step(
+            replicated(mesh, state), images_s, cams_s, replicated(mesh, priors),
+            [], lr, weights, "init",
+        )
+    np.testing.assert_allclose(
+        float(m1["loss_total"]), float(m8["loss_total"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state_1.params["means3D"]),
+        np.asarray(new_state_8.params["means3D"]),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
+def test_batched_gradient_equals_mean_of_per_view_gradients():
+    """The batched update rule == mean over views of single-view im grads."""
+    from topo4d_tpu.losses.image import photometric_loss
+
+    params, cams, images, priors, state, lr, weights = small_setup(v=4)
+
+    def batched_loss(params):
+        rv = activate_params(params)
+
+        def one(gt, cam, cm, cc):
+            out = render_fn(rv, cam)
+            im = jnp.exp(cm)[:, None, None] * out.image + cc[:, None, None]
+            return photometric_loss(im, gt)
+
+        return jnp.mean(
+            jax.vmap(one)(images, cams, params["cam_m"][:4], params["cam_c"][:4])
+        )
+
+    def single_loss(params, i):
+        rv = activate_params(params)
+        out = render_fn(rv, cams[i])
+        im = (
+            jnp.exp(params["cam_m"][i])[:, None, None] * out.image
+            + params["cam_c"][i][:, None, None]
+        )
+        return photometric_loss(im, images[i])
+
+    g_b = jax.grad(batched_loss)(params)
+    g_means = np.mean(
+        [np.asarray(jax.grad(single_loss)(params, i)["means3D"]) for i in range(4)],
+        axis=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_b["means3D"]), g_means, rtol=1e-4, atol=1e-7
+    )
+
+
+def test_dryrun_multichip_entry():
+    import sys, pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)

@@ -1,0 +1,146 @@
+"""View-batched geometry train step (the TPU scaling mode).
+
+The reference optimizes one random view per Adam step (train.py:105-112,
+663). The TPU-native update sums photometric gradients over ALL views in
+one step — views shard across chips, per-vertex parameter grads psum over
+ICI (inserted by XLA from the sharding annotations), topological losses are
+computed once on the replicated params. This is a deliberate, documented
+semantic change (SURVEY §7 layer 6); the single-view parity mode lives in
+``opt.step``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from topo4d_tpu.core.camera import Camera
+from topo4d_tpu.core.gaussian import activate_params
+from topo4d_tpu.losses.flatten import (
+    DihedralQuadruples,
+    UmbrellaFlatten,
+    flatten_loss,
+    soft_flatten_loss,
+    umbrella_flatten_loss,
+)
+from topo4d_tpu.losses.image import photometric_loss, psnr
+from topo4d_tpu.losses.temporal import rigid_rot_iso_losses
+from topo4d_tpu.opt.adam import adam_update
+from topo4d_tpu.opt.constraints import ScatterConstraint, apply_constraints
+from topo4d_tpu.opt.step import (
+    GeometryPriors,
+    HARD_FLATTEN_KEYS,
+    SOFT_FLATTEN_KEYS,
+    TrainState,
+    UMBRELLA_KEYS,
+)
+
+
+def make_batched_geometry_step(
+    quadruples: Dict[str, DihedralQuadruples],
+    umbrellas: Dict[str, UmbrellaFlatten],
+    render_fn: Callable,
+) -> Callable:
+    """Jitted all-views step. ``render_fn(rv, cam) -> RenderOutput``.
+
+    The returned ``step(state, images, cams, priors, constraints, lr,
+    weights, phase)`` renders every view (vmapped — shard ``images`` and
+    the camera arrays over the ``view`` mesh axis to distribute), averages
+    the photometric loss over views, adds the topological terms once, and
+    applies Adam + constraints. Metrics include the mean PSNR over views.
+    """
+
+    def per_view_losses(params, rv, images, cams):
+        def one_view(gt, cam, cam_m, cam_c):
+            out = render_fn(rv, cam)
+            im = (
+                jnp.exp(cam_m)[:, None, None] * out.image
+                + cam_c[:, None, None]
+            )
+            return photometric_loss(im, gt), jnp.mean(psnr(im, gt)), out.radii
+
+        v = images.shape[0]
+        return jax.vmap(one_view, in_axes=(0, 0, 0, 0))(
+            images, cams, params["cam_m"][:v], params["cam_c"][:v]
+        )
+
+    def loss_fn(params, images, cams, priors, weights, phase):
+        rv = activate_params(params)
+        im_losses, psnrs, radii = per_view_losses(params, rv, images, cams)
+        losses: Dict[str, jnp.ndarray] = {"im": jnp.mean(im_losses)}
+        new_cos = dict(priors.cos_init)
+
+        if phase == "init":
+            min_scale = jnp.min(rv.scales, axis=1)
+            losses["scale"] = jnp.sum(min_scale)
+            max_scale = jnp.max(rv.scales, axis=1)
+            losses["scale_max"] = jnp.sum(
+                jax.nn.relu(max_scale - priors.init_scale * 1.5)
+            )
+            for key in SOFT_FLATTEN_KEYS:
+                if key in quadruples:
+                    losses[key], new_cos[key] = soft_flatten_loss(
+                        rv.means3d, quadruples[key]
+                    )
+        else:
+            losses.update(
+                rigid_rot_iso_losses(
+                    rv.means3d, rv.rotations, priors.temporal,
+                    priors.neighbor_indices, priors.neighbor_dist,
+                    priors.rig_w, priors.rot_w, priors.iso_w,
+                )
+            )
+            for key in HARD_FLATTEN_KEYS:
+                if key in quadruples:
+                    losses[key] = flatten_loss(rv.means3d, quadruples[key])
+            for key in UMBRELLA_KEYS:
+                if key in umbrellas:
+                    losses[key] = umbrella_flatten_loss(rv.means3d, umbrellas[key])
+            for key in SOFT_FLATTEN_KEYS:
+                if key in quadruples:
+                    losses[key], _ = soft_flatten_loss(
+                        rv.means3d, quadruples[key], cos_init=priors.cos_init[key]
+                    )
+
+        total = sum(weights[k] * v for k, v in losses.items() if k in weights)
+        max_radii = jnp.max(radii, axis=0)  # max over views
+        return total, (losses, new_cos, max_radii, jnp.mean(psnrs))
+
+    @functools.partial(jax.jit, static_argnames=("phase",))
+    def step(
+        state: TrainState,
+        images: jnp.ndarray,  # (V, 3, H, W) — shard over 'view'
+        cams: Camera,  # batched; arrays shard over 'view'
+        priors: GeometryPriors,
+        constraints: Sequence[ScatterConstraint],
+        lr: Dict[str, jnp.ndarray],
+        weights: Dict[str, jnp.ndarray],
+        phase: str,
+    ) -> Tuple[TrainState, GeometryPriors, Dict[str, jnp.ndarray]]:
+        (total, (losses, new_cos, max_radii, mean_psnr)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, images, cams, priors, weights, phase
+            )
+        )
+        new_params, new_opt = adam_update(state.params, grads, state.opt, lr)
+        new_params = apply_constraints(new_params, constraints)
+
+        seen = max_radii > 0
+        max_radius = jnp.where(
+            seen,
+            jnp.maximum(max_radii.astype(jnp.float32), state.max_2d_radius),
+            state.max_2d_radius,
+        )
+        metrics = {("loss_" + k): v for k, v in losses.items()}
+        metrics["loss_total"] = total
+        metrics["psnr"] = mean_psnr
+        return (
+            TrainState(params=new_params, opt=new_opt, max_2d_radius=max_radius),
+            priors._replace(cos_init=new_cos),
+            metrics,
+        )
+
+    return step

@@ -110,6 +110,41 @@ def make_grid_mesh(
     return verts, faces
 
 
+def make_head_fixture(
+    rows: int = 92,
+    cols: int = 90,
+    num_views: int = 24,
+    width: int = 375,
+    height: int = 512,
+    seed: int = 0,
+):
+    """Reference-scale synthetic fixture: 8,280 mesh-bound Gaussians, 24 views.
+
+    Mirrors the operational scale of the reference pipeline (SURVEY §6:
+    8,280-vertex startup mesh, 24 calibrated views, 512x375 geometry-phase
+    images). Returns (params, cams, mesh) where params are raw
+    (pre-activation) Gaussian attributes bound to the mesh vertices.
+    """
+    rng = np.random.default_rng(seed)
+    verts, faces = make_grid_mesh(rows, cols, extent=0.5, seed=seed)
+    n = verts.shape[0]
+    # per-vertex scale from grid pitch (like the reference's knn init)
+    pitch = 1.0 / max(rows, cols)
+    params = {
+        "means3D": verts.astype(np.float32),
+        "rgb_colors": rng.uniform(0.1, 0.9, (n, 3)).astype(np.float32),
+        "unnorm_rotations": np.tile(
+            np.array([1.0, 0, 0, 0], np.float32), (n, 1)
+        ),
+        "logit_opacities": np.full((n, 1), 6.0, np.float32),
+        "log_scales": np.full((n, 3), np.log(pitch / 2), np.float32),
+        "cam_m": np.zeros((num_views, 3), np.float32),
+        "cam_c": np.zeros((num_views, 3), np.float32),
+    }
+    cams = make_camera_ring(num_views, width=width, height=height, distance=2.0)
+    return params, cams, (verts, faces)
+
+
 def sequential_blend_numpy(
     pix: np.ndarray,  # (P, 2)
     means2d: np.ndarray,  # (M, 2) front-to-back order
