@@ -1,0 +1,115 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from topo4d_tpu.texture.bake import bake_texture, process_uv
+
+
+def numpy_render_colors(vertices, triangles, colors, h, w, c=3):
+    """Literal port of the oracle (face3d/mesh_numpy/render.py:177-217)."""
+    image = np.zeros((h, w, c))
+    depth_buffer = np.zeros([h, w]) - 999999.0
+
+    def point_weight(p, tri):
+        v0 = tri[2] - tri[0]
+        v1 = tri[1] - tri[0]
+        v2 = np.array(p, float) - tri[0]
+        dot00 = v0 @ v0
+        dot01 = v0 @ v1
+        dot02 = v0 @ v2
+        dot11 = v1 @ v1
+        dot12 = v1 @ v2
+        denom = dot00 * dot11 - dot01 * dot01
+        inv = 0.0 if denom == 0 else 1.0 / denom
+        u = (dot11 * dot02 - dot01 * dot12) * inv
+        v = (dot00 * dot12 - dot01 * dot02) * inv
+        return 1 - u - v, v, u
+
+    for i in range(triangles.shape[0]):
+        tri = triangles[i]
+        umin = max(int(np.ceil(np.min(vertices[tri, 0]))), 0)
+        umax = min(int(np.floor(np.max(vertices[tri, 0]))), w - 1)
+        vmin = max(int(np.ceil(np.min(vertices[tri, 1]))), 0)
+        vmax = min(int(np.floor(np.max(vertices[tri, 1]))), h - 1)
+        if umax < umin or vmax < vmin:
+            continue
+        for u in range(umin, umax + 1):
+            for v in range(vmin, vmax + 1):
+                w0, w1, w2 = point_weight([u, v], vertices[tri, :2])
+                if w2 < 0 or w2 > 1 or w1 < 0 or w1 > 1 or w1 + w2 > 1:
+                    continue
+                pd = (
+                    w0 * vertices[tri[0], 2]
+                    + w1 * vertices[tri[1], 2]
+                    + w2 * vertices[tri[2], 2]
+                )
+                if pd > depth_buffer[v, u]:
+                    depth_buffer[v, u] = pd
+                    image[v, u] = (
+                        w0 * colors[tri[0]]
+                        + w1 * colors[tri[1]]
+                        + w2 * colors[tri[2]]
+                    )
+    return image
+
+
+def random_mesh(h, w, n_tris=40, seed=0, max_size=6.0):
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(5, min(h, w) - 5, (n_tris, 2))
+    offsets = rng.uniform(-max_size / 2, max_size / 2, (n_tris, 3, 2))
+    verts = (centers[:, None, :] + offsets).reshape(-1, 2)
+    z = rng.uniform(-1, 1, (verts.shape[0], 1))
+    verts = np.hstack([verts, z]).astype(np.float32)
+    tris = np.arange(n_tris * 3).reshape(n_tris, 3).astype(np.int32)
+    colors = rng.uniform(0, 1, (verts.shape[0], 3)).astype(np.float32)
+    return verts, tris, colors
+
+
+def test_bake_matches_scanline_oracle():
+    h = w = 48
+    verts, tris, colors = random_mesh(h, w)
+    expected = numpy_render_colors(verts, tris, colors, h, w)
+    got = bake_texture(verts, tris, colors, h, w, window=8, bands=3)
+    np.testing.assert_allclose(got, expected, rtol=2e-2, atol=2e-3)  # fp32 vs fp64 edge pixels
+
+
+def test_bake_tie_break_first_triangle_wins():
+    # two coplanar (z=0) overlapping triangles: the scanline oracle keeps
+    # the FIRST (strict > depth test); the bake's scatter-min id matches
+    verts = np.array(
+        [[2, 2, 0], [20, 2, 0], [2, 20, 0], [3, 3, 0], [21, 3, 0], [3, 21, 0]],
+        np.float32,
+    )
+    tris = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    colors = np.array(
+        [[1, 0, 0], [1, 0, 0], [1, 0, 0], [0, 1, 0], [0, 1, 0], [0, 1, 0]],
+        np.float32,
+    )
+    h = w = 24
+    expected = numpy_render_colors(verts, tris, colors, h, w)
+    got = bake_texture(verts, tris, colors, h, w, window=32, bands=2)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_bake_window_overflow_raises():
+    verts = np.array([[0, 0, 0], [30, 0, 0], [0, 30, 0]], np.float32)
+    tris = np.array([[0, 1, 2]], np.int32)
+    colors = np.ones((3, 3), np.float32)
+    with pytest.raises(ValueError, match="window"):
+        bake_texture(verts, tris, colors, 32, 32, window=8)
+
+
+def test_process_uv_matches_reference():
+    uv = np.array([[0.0, 0.0], [1.0, 1.0], [0.5, 0.25]])
+    out = process_uv(uv, 256, 256)
+    # reference helpers.py:945-950: x*(w-1), y flipped: h - y*(h-1) - 1
+    np.testing.assert_allclose(out[0], [0, 255, 0])
+    np.testing.assert_allclose(out[1], [255, 0, 0])
+    np.testing.assert_allclose(out[2], [127.5, 256 - 63.75 - 1, 0])
+
+
+def test_bake_8k_bands_shape():
+    # tiny mesh on a big canvas — just shape/band plumbing, not perf
+    verts, tris, colors = random_mesh(64, 64, n_tris=10)
+    out = bake_texture(verts, tris, colors, 512, 256, window=8, bands=5)
+    assert out.shape == (512, 256, 3)

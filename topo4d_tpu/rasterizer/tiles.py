@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from topo4d_tpu.core.gaussian import Projected
 
 TILE = 16  # pixels per tile side (CUDA BLOCK_X/BLOCK_Y)
+PACK_WIDTH = 128  # lane-aligned packed-entry row width (fields 0..15 used)
 
 
 class TileBins(NamedTuple):
@@ -125,3 +126,146 @@ def bin_gaussians(
 def num_tiles(width: int, height: int):
     """(tiles_x, tiles_y) for an image size (static)."""
     return -(-width // TILE), -(-height // TILE)
+
+
+class PackedBins(NamedTuple):
+    """Chunk-aligned per-tile entry ranges with packed per-entry data.
+
+    Every tile's entry range is padded to a multiple of ``chunk`` so a
+    chunk window never crosses a tile boundary — forward DMA reads and
+    backward DMA writes stay within one tile's range (the backward kernel
+    writes whole chunks; disjoint ranges make that race-free).
+
+    packed layout (E_out, 16):
+      0:x 1:y 2:conic_a 3:conic_b 4:conic_c 5:opacity 6:valid 7:pad
+      8:r 9:g 10:b 11:depth 12..15:pad
+    """
+
+    packed: jnp.ndarray  # (E_out, PACK_WIDTH) float32, fields 0..15 used
+    padded_start: jnp.ndarray  # (T,) int32 chunk-aligned range starts
+    nchunks: jnp.ndarray  # (T,) int32 chunks per tile
+    num_cropped: jnp.ndarray  # () int32
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "max_span", "chunk")
+)
+def bin_gaussians_packed(
+    proj: Projected,
+    colors: jnp.ndarray,
+    opacities: jnp.ndarray,
+    width: int,
+    height: int,
+    max_span: int = 4,
+    chunk: int = 64,
+) -> PackedBins:
+    """Binning with chunk-aligned tile ranges and packed entry data.
+
+    Unlike the fixed-capacity path there is NO per-tile entry limit: every
+    (gaussian, tile) pair within the span capacity gets an entry. E_out is
+    the static bound N*max_span^2 + T*chunk.
+    """
+    n = proj.means2d.shape[0]
+    x0, y0, x1, y1, tiles_x, tiles_y = tile_rect(proj, width, height)
+    span_w = x1 - x0
+    span_h = y1 - y0
+    cropped = (span_w > max_span) | (span_h > max_span)
+    num_cropped = jnp.sum(cropped & proj.mask).astype(jnp.int32)
+
+    r = max_span * max_span
+    k = jnp.arange(r, dtype=jnp.int32)
+    di = k // max_span
+    dj = k % max_span
+    ty = y0[:, None] + di[None, :]
+    tx = x0[:, None] + dj[None, :]
+    valid = (
+        proj.mask[:, None]
+        & (di[None, :] < span_h[:, None])
+        & (dj[None, :] < span_w[:, None])
+    )
+    t = tiles_x * tiles_y
+    tile_id = jnp.where(valid, ty * tiles_x + tx, t).astype(jnp.int32)
+
+    key = jnp.where(proj.mask, proj.depths, jnp.inf)
+    order = jnp.argsort(key, stable=True)
+    rank = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+
+    e = n * r
+    flat_tile = tile_id.reshape(-1)
+    flat_rank = jnp.broadcast_to(rank[:, None], (n, r)).reshape(-1)
+    flat_gid = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, r)
+    ).reshape(-1)
+
+    if (t + 1) * n < 2**31:
+        # single fused int32 key sorts ~2x faster than lexicographic
+        fused = flat_tile * jnp.int32(n) + flat_rank
+        _, sorted_tile, sorted_gid = jax.lax.sort(
+            (fused, flat_tile, flat_gid), num_keys=1, is_stable=False
+        )
+    else:
+        sorted_tile, _, sorted_gid = jax.lax.sort(
+            (flat_tile, flat_rank, flat_gid), num_keys=2, is_stable=True
+        )
+    entry_valid = sorted_tile < t
+
+    tile_start = jnp.searchsorted(
+        sorted_tile, jnp.arange(t, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    tile_end = jnp.searchsorted(
+        sorted_tile, jnp.arange(t, dtype=jnp.int32), side="right"
+    ).astype(jnp.int32)
+    count = tile_end - tile_start
+    nchunks = -(-count // chunk)
+    padded_count = nchunks * chunk
+    padded_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded_count)[:-1].astype(jnp.int32)]
+    )
+
+    e_out = e + t * chunk  # static upper bound on sum(padded_count)
+    safe_tile = jnp.minimum(sorted_tile, t - 1)
+    dest = jnp.where(
+        entry_valid,
+        padded_start[safe_tile]
+        + (jnp.arange(e, dtype=jnp.int32) - tile_start[safe_tile]),
+        e_out,
+    )
+
+    gid = sorted_gid
+    cols = jnp.stack(
+        [
+            proj.means2d[gid, 0],
+            proj.means2d[gid, 1],
+            proj.conics[gid, 0],
+            proj.conics[gid, 1],
+            proj.conics[gid, 2],
+            opacities[gid],
+            entry_valid.astype(jnp.float32),
+            jnp.zeros(e, jnp.float32),
+            colors[gid, 0],
+            colors[gid, 1],
+            colors[gid, 2],
+            proj.depths[gid],
+            jnp.zeros(e, jnp.float32),
+            jnp.zeros(e, jnp.float32),
+            jnp.zeros(e, jnp.float32),
+            jnp.zeros(e, jnp.float32),
+        ],
+        axis=-1,
+    )
+    # lane-pad to 128: Mosaic HBM DMA slices must be 128-aligned in the
+    # minor dimension, so entries are stored as (E, 128) rows with the 16
+    # meaningful fields up front (the 8x DMA overhead is latency-hidden;
+    # a tighter sublane-packed layout is a known follow-up optimization).
+    cols = jnp.pad(cols, ((0, 0), (0, PACK_WIDTH - 16)))
+    packed = (
+        jnp.zeros((e_out + 1, PACK_WIDTH), jnp.float32)
+        .at[dest]
+        .set(cols, mode="drop")[:e_out]
+    )
+    return PackedBins(
+        packed=packed,
+        padded_start=padded_start,
+        nchunks=nchunks,
+        num_cropped=num_cropped,
+    )

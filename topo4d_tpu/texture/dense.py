@@ -1,0 +1,85 @@
+"""Dense-Gaussian texture optimization (the reference's texture loop).
+
+Reference semantics (train.py:381-417, 715-743): a second, denser Gaussian
+set sampled in UV space renders the full-resolution views; only
+``dense_rgb_colors`` and ``dense_unnorm_rotations`` learn; the loss is
+photometric + a soft L1 anchor to the previous frame's colors (x0.02);
+non-frontal dense colors are zeroed before every step. Dense means3D are
+re-derived from the tracked geometry each frame by the jitted bilinear
+gather (``topology.interpolate``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from topo4d_tpu.core.camera import Camera
+from topo4d_tpu.core.gaussian import GaussianRenderVars
+from topo4d_tpu.core.quaternion import quat_normalize
+from topo4d_tpu.losses.image import l1_loss_sum_last, photometric_loss, psnr
+from topo4d_tpu.opt.adam import AdamState, adam_update
+from topo4d_tpu.opt.constraints import ScatterConstraint, apply_constraints
+
+
+class TextureState(NamedTuple):
+    params: Dict[str, jnp.ndarray]  # dense_* parameter dict
+    opt: AdamState
+
+
+def dense_rendervars(
+    params: Dict[str, jnp.ndarray], dense_means3d: jnp.ndarray
+) -> GaussianRenderVars:
+    """params2rendervar_dense (reference helpers.py:102-112): means frozen."""
+    return GaussianRenderVars(
+        means3d=jax.lax.stop_gradient(dense_means3d),
+        colors=params["dense_rgb_colors"],
+        rotations=quat_normalize(params["dense_unnorm_rotations"]),
+        opacities=jax.nn.sigmoid(params["dense_logit_opacities"]).reshape(-1),
+        scales=jnp.exp(params["dense_log_scales"]),
+    )
+
+
+def make_texture_step(render_fn: Callable) -> Callable:
+    """Jitted texture iteration: zero-region scatters -> render -> loss ->
+    Adam (reference train.py:729-741, incl. the pre-step color zeroing)."""
+
+    def loss_fn(params, dense_means3d, gt, cam, anchor_colors, weights):
+        rv = dense_rendervars(params, dense_means3d)
+        out = render_fn(rv, cam)
+        losses = {
+            "im": photometric_loss(out.image, gt),
+            "soft_color": l1_loss_sum_last(
+                params["dense_rgb_colors"], anchor_colors
+            ),
+        }
+        total = sum(weights[k] * v for k, v in losses.items() if k in weights)
+        return total, (losses, out.radii, out.image)
+
+    @jax.jit
+    def step(
+        state: TextureState,
+        dense_means3d: jnp.ndarray,
+        gt: jnp.ndarray,  # (3, H, W)
+        cams: Camera,
+        view_id: jnp.ndarray,
+        anchor_colors: jnp.ndarray,  # previous frame's dense colors
+        pre_constraints: Sequence[ScatterConstraint],
+        lr: Dict[str, jnp.ndarray],
+        weights: Dict[str, jnp.ndarray],
+    ) -> Tuple[TextureState, Dict[str, jnp.ndarray]]:
+        cam = cams[view_id]
+        params = apply_constraints(state.params, pre_constraints)
+        (total, (losses, radii, im)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, dense_means3d, gt, cam, anchor_colors, weights)
+        new_params, new_opt = adam_update(params, grads, state.opt, lr)
+        metrics = {("loss_" + k): v for k, v in losses.items()}
+        metrics["loss_total"] = total
+        metrics["psnr"] = jnp.mean(psnr(im, gt))
+        return TextureState(params=new_params, opt=new_opt), metrics
+
+    return step
