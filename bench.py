@@ -26,7 +26,7 @@ def main() -> None:
 
     from topo4d_tpu.core.gaussian import activate_params
     from topo4d_tpu.losses.image import photometric_loss
-    from topo4d_tpu.rasterizer.tiled import render_gaussians_tiled
+    from topo4d_tpu.rasterizer.pallas import render_gaussians_pallas
     from topo4d_tpu.testing import make_head_fixture
 
     params_np, cams, _ = make_head_fixture()
@@ -36,12 +36,14 @@ def main() -> None:
     n = params["means3D"].shape[0]
 
     rv0 = activate_params(params)
-    gt = render_gaussians_tiled(rv0, cam0, max_span=4, capacity=512).image
-    gt = jax.block_until_ready(gt)
+    render = jax.jit(
+        lambda rv: render_gaussians_pallas(rv, cam0, max_span=2, chunk=128)
+    )
+    gt = jax.block_until_ready(render(rv0).image)
 
     def loss_fn(params, gt):
         rv = activate_params(params)
-        out = render_gaussians_tiled(rv, cam0, max_span=4, capacity=512)
+        out = render_gaussians_pallas(rv, cam0, max_span=2, chunk=128)
         return photometric_loss(out.image, gt)
 
     vg = jax.jit(jax.value_and_grad(loss_fn))
@@ -65,7 +67,7 @@ def main() -> None:
     sec_per_frame = step_s * 1100
     target = 5.0
 
-    stats = render_gaussians_tiled(rv0, cam0, max_span=4, capacity=512)
+    stats = render(rv0)
     result = {
         "metric": "Mpix/s/chip fwd+bwd rasterize",
         "value": round(mpix_s, 2),

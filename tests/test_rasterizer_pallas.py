@@ -24,25 +24,25 @@ def test_packed_binning_alignment(scene):
     _, rv, cam = scene
     proj = project_gaussians(rv, cam)
     bins = bin_gaussians_packed(
-        proj, rv.colors, rv.opacities, cam.width, cam.height, max_span=8, chunk=32
+        proj, rv.colors, rv.opacities, cam.width, cam.height, max_span=8, chunk=128
     )
     starts = np.asarray(bins.padded_start)
     nch = np.asarray(bins.nchunks)
     # ranges are chunk-aligned, contiguous, non-overlapping
-    assert (starts % 32 == 0).all()
-    ends = starts + nch * 32
+    assert (starts % 128 == 0).all()
+    ends = starts + nch * 128
     assert (starts[1:] == ends[:-1]).all()
     packed = np.asarray(bins.packed)
     # valid flags inside ranges only where real entries exist
     total = ends[-1]
-    assert (packed[total:, 6] == 0).all()
+    assert (packed[6, total:] == 0).all()
 
 
 def test_pallas_forward_matches_oracle(scene):
     _, rv, cam = scene
     bg = jnp.asarray([0.3, 0.2, 0.1])
     ref = render_gaussians(rv, cam, bg=bg)
-    got = render_gaussians_pallas(rv, cam, bg=bg, max_span=8, chunk=32, interpret=True)
+    got = render_gaussians_pallas(rv, cam, bg=bg, max_span=8, chunk=128, interpret=True)
     np.testing.assert_allclose(
         np.asarray(got.image), np.asarray(ref.image), rtol=1e-4, atol=1e-5
     )
@@ -70,7 +70,7 @@ def test_pallas_gradients_match_oracle(scene):
 
     def loss_pallas(params):
         out = render_gaussians_pallas(
-            activate_params(params), cam, bg=bg, max_span=8, chunk=32, interpret=True
+            activate_params(params), cam, bg=bg, max_span=8, chunk=128, interpret=True
         )
         return (
             jnp.mean(jnp.abs(out.image - target))
@@ -95,7 +95,7 @@ def test_pallas_means2d_offset_gradient(scene):
 
     def loss(offset):
         out = render_gaussians_pallas(
-            rv, cam, means2d_offset=offset, max_span=8, chunk=32, interpret=True
+            rv, cam, means2d_offset=offset, max_span=8, chunk=128, interpret=True
         )
         return jnp.sum(out.image**2)
 

@@ -51,29 +51,40 @@ def psnr(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=8)
-def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
-    """Normalized separable Gaussian window (reference external.py:73-82)."""
+def _gaussian_1d(window_size: int, sigma: float) -> np.ndarray:
+    """Normalized 1-D Gaussian taps (reference external.py:73-75)."""
     xs = np.arange(window_size) - window_size // 2
     g = np.exp(-(xs**2) / (2.0 * sigma**2))
-    g /= g.sum()
-    return np.outer(g, g).astype(np.float32)
+    return (g / g.sum()).astype(np.float32)
 
 
-def _window_conv(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise 'same' conv of (C, H, W) with a (k, k) window."""
-    c = img.shape[0]
-    k = window.shape[0]
-    lhs = img[None]  # (1, C, H, W)
-    rhs = jnp.broadcast_to(window[None, None], (c, 1, k, k))
-    out = jax.lax.conv_general_dilated(
-        lhs,
-        rhs,
-        window_strides=(1, 1),
-        padding=[(k // 2, k // 2), (k // 2, k // 2)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=c,
-    )
-    return out[0]
+@functools.lru_cache(maxsize=32)
+def _band_matrix(size: int, window_size: int, sigma: float) -> np.ndarray:
+    """Banded Toeplitz matrix implementing zero-padded 'same' 1-D conv.
+
+    T[i, j] = g[j - i + k//2]; conv-by-matmul keeps the SSIM window on the
+    MXU — a depthwise 3-channel conv lowers terribly on TPU (19 ms/step vs
+    <1 ms this way), and the separable Gaussian makes the two 1-D passes
+    exactly equal to the reference's 2-D window conv.
+    """
+    g = _gaussian_1d(window_size, sigma)
+    half = window_size // 2
+    t = np.zeros((size, size), np.float32)
+    for off in range(-half, half + 1):
+        d = np.full(size - abs(off), g[off + half], np.float32)
+        t += np.diag(d, k=off)
+    return t
+
+
+def _window_conv(
+    img: jnp.ndarray, window_size: int = 11, sigma: float = 1.5
+) -> jnp.ndarray:
+    """Depthwise 'same' Gaussian conv of (C, H, W) via banded matmuls."""
+    c, h, w = img.shape
+    th = jnp.asarray(_band_matrix(h, window_size, sigma))
+    tw = jnp.asarray(_band_matrix(w, window_size, sigma))
+    out = jnp.einsum("ij,cjk->cik", th, img, preferred_element_type=jnp.float32)
+    return jnp.einsum("cik,lk->cil", out, tw, preferred_element_type=jnp.float32)
 
 
 def ssim(
@@ -88,15 +99,14 @@ def ssim(
     Identical to the torch version: depthwise Gaussian conv with zero
     'same' padding (border bias included), c1=0.01^2, c2=0.03^2.
     """
-    window = jnp.asarray(_gaussian_window(window_size, sigma))
-    mu1 = _window_conv(img1, window)
-    mu2 = _window_conv(img2, window)
+    mu1 = _window_conv(img1, window_size, sigma)
+    mu2 = _window_conv(img2, window_size, sigma)
     mu1_sq = mu1 * mu1
     mu2_sq = mu2 * mu2
     mu1_mu2 = mu1 * mu2
-    sigma1_sq = _window_conv(img1 * img1, window) - mu1_sq
-    sigma2_sq = _window_conv(img2 * img2, window) - mu2_sq
-    sigma12 = _window_conv(img1 * img2, window) - mu1_mu2
+    sigma1_sq = _window_conv(img1 * img1, window_size, sigma) - mu1_sq
+    sigma2_sq = _window_conv(img2 * img2, window_size, sigma) - mu2_sq
+    sigma12 = _window_conv(img1 * img2, window_size, sigma) - mu1_mu2
     c1, c2 = 0.01**2, 0.03**2
     ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)

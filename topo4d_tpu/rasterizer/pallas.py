@@ -51,17 +51,17 @@ def _render_pallas_impl(
         chunk,
         max_chunks,
         interpret,
-    )  # (T, 8, PX)
+    )  # (T, PX, 8)
 
-    rgb_tiles = out[:, 0:3, :] + out[:, 4:5, :] * bg[None, :, None]
-    depth_tiles = out[:, 3:4, :]
-    alpha_tiles = 1.0 - out[:, 4:5, :]
+    rgb_tiles = out[:, :, 0:3] + out[:, :, 4:5] * bg[None, None, :]
+    depth_tiles = out[:, :, 3:4]
+    alpha_tiles = 1.0 - out[:, :, 4:5]
 
     def untile(x):
-        """(T, C, PX) -> (C, H, W)."""
-        c = x.shape[1]
-        x = x.reshape(tiles_y, tiles_x, c, TILE, TILE)
-        x = x.transpose(2, 0, 3, 1, 4).reshape(c, tiles_y * TILE, tiles_x * TILE)
+        """(T, PX, C) -> (C, H, W)."""
+        c = x.shape[2]
+        x = x.reshape(tiles_y, tiles_x, TILE, TILE, c)
+        x = x.transpose(4, 0, 2, 1, 3).reshape(c, tiles_y * TILE, tiles_x * TILE)
         return x[:, :height, :width]
 
     return untile(rgb_tiles), untile(depth_tiles), untile(alpha_tiles), bins.num_cropped
@@ -73,7 +73,7 @@ def render_gaussians_pallas(
     bg: Optional[jnp.ndarray] = None,
     means2d_offset: Optional[jnp.ndarray] = None,
     max_span: int = 4,
-    chunk: int = 64,
+    chunk: int = 128,
     interpret: bool = False,
 ) -> TiledRenderOutput:
     """Drop-in Pallas renderer matching the oracle contract.

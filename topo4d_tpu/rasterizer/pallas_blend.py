@@ -3,19 +3,22 @@
 The production hot path (SURVEY §7 layer 5). Replaces the XLA scan blend of
 ``tiled.py``: per-tile work is proportional to that tile's actual entry
 count (dynamic while-loop over chunk-aligned DMA windows) and every
-intermediate lives in VMEM. Key kernel techniques:
+intermediate lives in VMEM.
 
-- cumulative transmittance via exp(L_strict @ log1p(-alpha)) — the
-  exclusive cumprod becomes a [CHUNK, CHUNK] x [CHUNK, 256] matmul on the
-  MXU instead of a sequential scan;
-- feature accumulation and all backward reductions are matmuls/lane
-  reductions;
+Layout: transposed — PIXELS on sublanes (256 rows), ENTRIES on lanes
+(chunk == 128 per DMA window). Packed entry data is (16 fields, E) in HBM
+so each chunk DMA moves exactly 8 KB with lane-aligned offsets. Kernel
+techniques:
+
+- exclusive cumulative transmittance via exp(log1p(-alpha) @ U_strict) —
+  the cumprod along entries is a [256,128] x [128,128] MXU matmul;
+- feature accumulation / gradient reductions are matmuls or sublane sums;
 - early termination: the chunk loop exits once every pixel's
-  transmittance is below 1e-4 (the CUDA rasterizer's per-pixel 'done');
+  transmittance drops below 1e-4 (the CUDA per-pixel 'done' rule);
 - the backward kernel is self-contained: a forward resweep stores each
-  chunk's incoming transmittance in VMEM, then a reverse sweep computes
-  exact gradients with a suffix carry (matching the oracle's autodiff
-  through the same math, incl. the straight-through 0.99 clamp).
+  chunk's incoming transmittance column in VMEM, then a reverse sweep
+  computes exact gradients with a suffix carry (matching the oracle's
+  autodiff through the same math, incl. the straight-through 0.99 clamp).
 
 Entry ranges are chunk-aligned and disjoint (tiles.bin_gaussians_packed),
 so the backward kernel's full-chunk DMA writes into the per-entry gradient
@@ -25,7 +28,6 @@ buffer are race-free by construction.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,45 +35,44 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from topo4d_tpu.core.gaussian import ALPHA_MAX, ALPHA_MIN, TRANSMITTANCE_MIN
-from topo4d_tpu.rasterizer.tiles import PACK_WIDTH, TILE
+from topo4d_tpu.rasterizer.tiles import PACK_CHUNK, PACK_FIELDS, TILE
 
 PX = TILE * TILE  # 256 pixels per tile
-_NEG_LOG_EPS = 1e-12
 
 
 def _pixel_coords(tile_idx, tiles_x: int):
-    """Pixel-center coordinates of tile ``tile_idx`` -> two (1, PX) f32."""
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, PX), 1)
+    """Pixel-center coordinates of tile ``tile_idx`` -> two (PX, 1) f32."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (PX, 1), 0)
     tx = tile_idx % tiles_x
     ty = tile_idx // tiles_x
-    px = (tx * TILE + col % TILE).astype(jnp.float32)
-    py = (ty * TILE + col // TILE).astype(jnp.float32)
+    px = (tx * TILE + row % TILE).astype(jnp.float32)
+    py = (ty * TILE + row // TILE).astype(jnp.float32)
     return px, py
 
 
 def _tri_masks(chunk: int):
-    """Strictly-lower and strictly-upper triangular (chunk, chunk) f32."""
+    """(right-mult) masks: excl-prefix U[j,i]=j<i, suffix L[j,i]=j>i."""
     row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-    lower = (col < row).astype(jnp.float32)
-    upper = (col > row).astype(jnp.float32)
-    return lower, upper
+    prefix = (row < col).astype(jnp.float32)
+    suffix = (row > col).astype(jnp.float32)
+    return prefix, suffix
 
 
 def _chunk_terms(data, px, py):
-    """Shared forward math for one chunk of entries.
+    """Shared forward math for one chunk.
 
-    data: (chunk, 16) packed entry block. Returns (alpha, raw, g_exp, dx,
-    dy) with the CUDA skip rules applied (alpha == 0 for skipped pairs).
+    data: (16, chunk) packed field rows. Returns (alpha, raw, g_exp, dx,
+    dy) with the CUDA skip rules applied; all (PX, chunk).
     """
-    x = data[:, 0:1]
-    y = data[:, 1:2]
-    ca = data[:, 2:3]
-    cb = data[:, 3:4]
-    cc = data[:, 4:5]
-    op = data[:, 5:6]
-    valid = data[:, 6:7]
-    dx = x - px  # (chunk, PX)
+    x = data[0:1, :]
+    y = data[1:2, :]
+    ca = data[2:3, :]
+    cb = data[3:4, :]
+    cc = data[4:5, :]
+    op = data[5:6, :]
+    valid = data[6:7, :]
+    dx = x - px  # (PX, chunk)
     dy = y - py
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     g_exp = jnp.exp(power)
@@ -83,18 +84,17 @@ def _chunk_terms(data, px, py):
 
 
 def _fwd_kernel(tiles_x: int, chunk: int):
-    """Build the forward kernel body."""
-
     def kernel(start_ref, nchunk_ref, packed_hbm, out_ref, buf, sem):
         i = pl.program_id(0)
         start = start_ref[i]
         k = nchunk_ref[i]
         px, py = _pixel_coords(i, tiles_x)
-        l_strict, _ = _tri_masks(chunk)
+        u_prefix, _ = _tri_masks(chunk)
 
         def get_dma(slot, c):
+            off = pl.multiple_of(start + c * chunk, chunk)
             return pltpu.make_async_copy(
-                packed_hbm.at[pl.ds(start + c * chunk, chunk)],
+                packed_hbm.at[:, pl.ds(off, chunk)],
                 buf.at[slot],
                 sem.at[slot],
             )
@@ -120,30 +120,30 @@ def _fwd_kernel(tiles_x: int, chunk: int):
             alpha, _, _, _, _ = _chunk_terms(data, px, py)
             log1m = jnp.log1p(-alpha)
             s_excl = jax.lax.dot(
-                l_strict, log1m, preferred_element_type=jnp.float32
-            )
+                log1m, u_prefix, preferred_element_type=jnp.float32
+            )  # (PX, chunk) exclusive prefix along entries
             t_excl_l = jnp.exp(s_excl)
             t_incl_l = t_excl_l * (1.0 - alpha)
             t_excl = t_un * t_excl_l
             t_incl = t_un * t_incl_l
             keep2 = t_incl >= TRANSMITTANCE_MIN
-            w = alpha * t_excl * jnp.where(keep2, 1.0, 0.0)
-            feat = data[:, 8:16]  # (chunk, 8)
+            w = alpha * t_excl * jnp.where(keep2, 1.0, 0.0)  # (PX, chunk)
+            feat = data[8:16, :]  # (8, chunk)
             acc = acc + jax.lax.dot_general(
-                feat,
                 w,
-                dimension_numbers=(((0,), (0,)), ((), ())),
+                feat,
+                dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (8, PX)
-            t_un = t_incl[chunk - 1 : chunk, :]
+            )  # (PX, 8)
+            t_un = t_incl[:, chunk - 1 : chunk]
             t_fr = jnp.minimum(
                 t_fr,
-                jnp.min(jnp.where(keep2, t_incl, 1.0), axis=0, keepdims=True),
+                jnp.min(jnp.where(keep2, t_incl, 1.0), axis=1, keepdims=True),
             )
             return (c + 1, t_un, t_fr, acc)
 
-        ones = jnp.ones((1, PX), jnp.float32)
-        acc0 = jnp.zeros((8, PX), jnp.float32)
+        ones = jnp.ones((PX, 1), jnp.float32)
+        acc0 = jnp.zeros((PX, 8), jnp.float32)
         c_end, t_un, t_fr, acc = jax.lax.while_loop(
             cond, body, (jnp.int32(0), ones, ones, acc0)
         )
@@ -155,7 +155,7 @@ def _fwd_kernel(tiles_x: int, chunk: int):
             get_dma(jax.lax.rem(c_end, 2), c_end).wait()
 
         out = jnp.concatenate(
-            [acc[0:4], t_fr, jnp.zeros((3, PX), jnp.float32)], axis=0
+            [acc[:, 0:4], t_fr, jnp.zeros((PX, 3), jnp.float32)], axis=1
         )
         out_ref[0] = out
 
@@ -174,23 +174,23 @@ def _blend_fwd_impl(
         grid=(t,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, 8, PX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, PX, 8), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, PACK_WIDTH), jnp.float32),
+            pltpu.VMEM((2, PACK_FIELDS, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
         _fwd_kernel(tiles_x, chunk),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t, 8, PX), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t, PX, 8), jnp.float32),
         interpret=interpret,
     )(padded_start, nchunks, packed)
 
 
 def _bwd_kernel(tiles_x: int, chunk: int, max_chunks: int):
-    """Backward kernel: forward resweep (boundary T's) + reverse grad sweep."""
+    """Backward: forward resweep (boundary T columns) + reverse grad sweep."""
 
     def kernel(
         start_ref, nchunk_ref, packed_hbm, g_ref, dpacked_hbm,
@@ -200,15 +200,24 @@ def _bwd_kernel(tiles_x: int, chunk: int, max_chunks: int):
         start = start_ref[i]
         k = nchunk_ref[i]
         px, py = _pixel_coords(i, tiles_x)
-        l_strict, u_strict = _tri_masks(chunk)
-        g8 = g_ref[0]  # (8, PX): rows 0-3 feature grads, row 4 T_final grad
-        g_final = g8[4:5, :]  # (1, PX)
+        u_prefix, l_suffix = _tri_masks(chunk)
+        g8 = g_ref[0]  # (PX, 8): cols 0-3 feature grads, col 4 T_final grad
+        g_final = g8[:, 4:5]  # (PX, 1)
 
         def get_dma(slot, c):
+            off = pl.multiple_of(start + c * chunk, chunk)
             return pltpu.make_async_copy(
-                packed_hbm.at[pl.ds(start + c * chunk, chunk)],
+                packed_hbm.at[:, pl.ds(off, chunk)],
                 buf.at[slot],
                 sem.at[slot],
+            )
+
+        def put_dma(slot, c):
+            off = pl.multiple_of(start + c * chunk, chunk)
+            return pltpu.make_async_copy(
+                dbuf.at[slot],
+                dpacked_hbm.at[:, pl.ds(off, chunk)],
+                wsem.at[slot],
             )
 
         # ---- forward resweep: record each chunk's incoming T ------------
@@ -225,27 +234,30 @@ def _bwd_kernel(tiles_x: int, chunk: int, max_chunks: int):
                 get_dma(1 - slot, c + 1).start()
 
             get_dma(slot, c).wait()
-            tb[pl.ds(c, 1), :] = t_un
+            # masked RMW store of this chunk's incoming T column (dynamic
+            # lane indexing is not vectorizable on TPU; a select is)
+            col = jax.lax.broadcasted_iota(jnp.int32, tb.shape, 1)
+            tb[:, :] = jnp.where(col == c, t_un, tb[:, :])
             data = buf[slot]
             alpha, _, _, _, _ = _chunk_terms(data, px, py)
             log1m = jnp.log1p(-alpha)
             s_excl = jax.lax.dot(
-                l_strict, log1m, preferred_element_type=jnp.float32
+                log1m, u_prefix, preferred_element_type=jnp.float32
             )
             t_incl_l = jnp.exp(s_excl) * (1.0 - alpha)
             t_incl = t_un * t_incl_l
             keep2 = t_incl >= TRANSMITTANCE_MIN
-            t_un = t_incl[chunk - 1 : chunk, :]
+            t_un = t_incl[:, chunk - 1 : chunk]
             t_fr = jnp.minimum(
                 t_fr,
-                jnp.min(jnp.where(keep2, t_incl, 1.0), axis=0, keepdims=True),
+                jnp.min(jnp.where(keep2, t_incl, 1.0), axis=1, keepdims=True),
             )
             return (t_un, t_fr)
 
-        ones = jnp.ones((1, PX), jnp.float32)
+        ones = jnp.ones((PX, 1), jnp.float32)
         _, t_fr = jax.lax.fori_loop(0, k, fbody, (ones, ones))
 
-        gt_final = g_final * t_fr  # (1, PX)
+        gt_final = g_final * t_fr  # (PX, 1)
 
         # ---- reverse sweep ----------------------------------------------
         @pl.when(k > 0)
@@ -265,21 +277,24 @@ def _bwd_kernel(tiles_x: int, chunk: int, max_chunks: int):
             alpha, raw, g_exp, dx, dy = _chunk_terms(data, px, py)
             log1m = jnp.log1p(-alpha)
             s_excl = jax.lax.dot(
-                l_strict, log1m, preferred_element_type=jnp.float32
+                log1m, u_prefix, preferred_element_type=jnp.float32
             )
-            t_un = tb[pl.ds(c, 1), :]
+            col = jax.lax.broadcasted_iota(jnp.int32, tb.shape, 1)
+            t_un = jnp.sum(
+                jnp.where(col == c, tb[:, :], 0.0), axis=1, keepdims=True
+            )
             t_excl = t_un * jnp.exp(s_excl)
             t_incl = t_excl * (1.0 - alpha)
             keep2 = t_incl >= TRANSMITTANCE_MIN
             w = alpha * t_excl * jnp.where(keep2, 1.0, 0.0)
 
-            feat = data[:, 8:16]
+            feat = data[8:16, :]  # (8, chunk)
             gfeat = jax.lax.dot(
-                feat, g8, preferred_element_type=jnp.float32
-            )  # (chunk, PX): (g . feat_i)(p)
+                g8, feat, preferred_element_type=jnp.float32
+            )  # (PX, chunk): (g . feat_e)(p)
             q = w * gfeat
             sufq = (
-                jax.lax.dot(u_strict, q, preferred_element_type=jnp.float32)
+                jax.lax.dot(q, l_suffix, preferred_element_type=jnp.float32)
                 + suf
             )
             live = jnp.where((alpha > 0.0) & keep2, 1.0, 0.0)
@@ -288,64 +303,47 @@ def _bwd_kernel(tiles_x: int, chunk: int, max_chunks: int):
             )
 
             dpow = dalpha * raw  # CUDA straight-through clamp semantics
-            ca = data[:, 2:3]
-            cb = data[:, 3:4]
-            dca = jnp.sum(dpow * (-0.5 * dx * dx), axis=1, keepdims=True)
-            dcb = jnp.sum(dpow * (-dx * dy), axis=1, keepdims=True)
-            dcc = jnp.sum(dpow * (-0.5 * dy * dy), axis=1, keepdims=True)
-            dxm = jnp.sum(dpow * (-(ca * dx + cb * dy)), axis=1, keepdims=True)
-            cc = data[:, 4:5]
-            dym = jnp.sum(dpow * (-(cb * dx + cc * dy)), axis=1, keepdims=True)
-            dop = jnp.sum(dalpha * live * g_exp, axis=1, keepdims=True)
+            ca = data[2:3, :]
+            cb = data[3:4, :]
+            cc = data[4:5, :]
+            dca = jnp.sum(dpow * (-0.5 * dx * dx), axis=0, keepdims=True)
+            dcb = jnp.sum(dpow * (-dx * dy), axis=0, keepdims=True)
+            dcc = jnp.sum(dpow * (-0.5 * dy * dy), axis=0, keepdims=True)
+            dxm = jnp.sum(dpow * (-(ca * dx + cb * dy)), axis=0, keepdims=True)
+            dym = jnp.sum(dpow * (-(cb * dx + cc * dy)), axis=0, keepdims=True)
+            dop = jnp.sum(dalpha * live * g_exp, axis=0, keepdims=True)
             dfeat = jax.lax.dot_general(
-                w,
                 g8,
-                dimension_numbers=(((1,), (1,)), ((), ())),
+                w,
+                dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (chunk, 8)
+            )  # (8, chunk)
 
-            zero = jnp.zeros_like(dca)
+            zero = jnp.zeros((2, chunk), jnp.float32)
             dout = jnp.concatenate(
-                [dxm, dym, dca, dcb, dcc, dop, zero, zero], axis=1
-            )  # (chunk, 8)
-            pad = jnp.zeros((dout.shape[0], PACK_WIDTH - 16), jnp.float32)
-            wslot = jax.lax.rem(j, 2)
-            # wait for the previous write using this slot to land
+                [dxm, dym, dca, dcb, dcc, dop, zero, dfeat], axis=0
+            )  # (16, chunk)
+
+            # wait for the write that used this slot 2 iterations ago
             @pl.when(j >= 2)
             def _():
-                pltpu.make_async_copy(
-                    dbuf.at[wslot],
-                    dpacked_hbm.at[pl.ds(start + (c + 2) * chunk, chunk)],
-                    wsem.at[wslot],
-                ).wait()
-            dbuf[wslot] = jnp.concatenate([dout, dfeat, pad], axis=1)
-            pltpu.make_async_copy(
-                dbuf.at[wslot],
-                dpacked_hbm.at[pl.ds(start + c * chunk, chunk)],
-                wsem.at[wslot],
-            ).start()
+                put_dma(slot, c + 2).wait()
 
-            return suf + jnp.sum(q, axis=0, keepdims=True)
+            dbuf[slot] = dout
+            put_dma(slot, c).start()
+            return suf + jnp.sum(q, axis=1, keepdims=True)
 
-        suf0 = jnp.zeros((1, PX), jnp.float32)
+        suf0 = jnp.zeros((PX, 1), jnp.float32)
         jax.lax.fori_loop(0, k, rbody, suf0)
 
         # drain outstanding writes
         @pl.when(k >= 2)
         def _():
-            pltpu.make_async_copy(
-                dbuf.at[jax.lax.rem(k - 2, 2)],
-                dpacked_hbm.at[pl.ds(start + 1 * chunk, chunk)],
-                wsem.at[jax.lax.rem(k - 2, 2)],
-            ).wait()
+            put_dma(jax.lax.rem(k - 2, 2), 1).wait()
 
         @pl.when(k >= 1)
         def _():
-            pltpu.make_async_copy(
-                dbuf.at[jax.lax.rem(k - 1, 2)],
-                dpacked_hbm.at[pl.ds(start, chunk)],
-                wsem.at[jax.lax.rem(k - 1, 2)],
-            ).wait()
+            put_dma(jax.lax.rem(k - 1, 2), 0).wait()
 
     return kernel
 
@@ -359,19 +357,21 @@ def _blend_bwd_impl(
     interpret=False,
 ):
     t = tiles_x * tiles_y
-    e_out = packed.shape[0]
+    e_out = packed.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 8, PX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, PX, 8), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, PACK_WIDTH), jnp.float32),  # read double-buffer
-            pltpu.VMEM((max_chunks, PX), jnp.float32),  # boundary T store
-            pltpu.VMEM((2, chunk, PACK_WIDTH), jnp.float32),  # write double-buffer
+            pltpu.VMEM((2, PACK_FIELDS, chunk), jnp.float32),  # read buffers
+            pltpu.VMEM((PX, max_chunks), jnp.float32),  # boundary T columns
+            pltpu.VMEM((2, PACK_FIELDS, chunk), jnp.float32),  # write buffers
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -379,7 +379,7 @@ def _blend_bwd_impl(
     return pl.pallas_call(
         _bwd_kernel(tiles_x, chunk, max_chunks),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((e_out, PACK_WIDTH), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((PACK_FIELDS, e_out), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(padded_start, nchunks, packed, g_out)
@@ -390,10 +390,10 @@ def pallas_blend(
     packed, padded_start, nchunks, tiles_x, tiles_y, chunk, max_chunks,
     interpret=False,
 ):
-    """Blend chunk-aligned packed entries -> (T, 8, PX) tile buffers.
+    """Blend chunk-aligned packed entries -> (T, PX, 8) tile buffers.
 
-    Rows 0-3: alpha-blended (r, g, b, depth); row 4: final (frozen)
-    transmittance T_final; rows 5-7: zero. Background compositing and
+    Cols 0-3: alpha-blended (r, g, b, depth); col 4: final (frozen)
+    transmittance T_final; cols 5-7: zero. Background compositing and
     alpha = 1 - T_final happen in XLA outside.
     """
     return _blend_fwd_impl(
@@ -413,14 +413,14 @@ def _pallas_blend_fwd(
 
 def _pallas_blend_bwd(tiles_x, tiles_y, chunk, max_chunks, interpret, res, g_out):
     packed, padded_start, nchunks = res
-    # zero rows the kernel never writes (beyond the covered padded ranges)
     dpacked = _blend_bwd_impl(
         packed, padded_start, nchunks, g_out, tiles_x, tiles_y, chunk, max_chunks,
         interpret,
     )
+    # zero columns the kernel never writes (beyond the covered padded ranges)
     total = padded_start[-1] + nchunks[-1] * chunk
     covered = (
-        jax.lax.broadcasted_iota(jnp.int32, (packed.shape[0], 1), 0) < total
+        jax.lax.broadcasted_iota(jnp.int32, (1, packed.shape[1]), 1) < total
     )
     dpacked = jnp.where(covered, dpacked, 0.0)
     return (dpacked, None, None)

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from topo4d_tpu.core.gaussian import Projected
 
 TILE = 16  # pixels per tile side (CUDA BLOCK_X/BLOCK_Y)
-PACK_WIDTH = 128  # lane-aligned packed-entry row width (fields 0..15 used)
+PACK_FIELDS = 16  # rows of the transposed packed-entry layout
+PACK_CHUNK = 128  # entries per DMA chunk (Mosaic minor-dim alignment)
 
 
 class TileBins(NamedTuple):
@@ -136,12 +137,14 @@ class PackedBins(NamedTuple):
     backward DMA writes stay within one tile's range (the backward kernel
     writes whole chunks; disjoint ranges make that race-free).
 
-    packed layout (E_out, 16):
+    packed layout (PACK_FIELDS, E_out) — fields x entries, transposed so
+    entries ride the 128-lane axis (DMA slices need 128-aligned minor
+    dims; offsets stay aligned because chunk == 128):
       0:x 1:y 2:conic_a 3:conic_b 4:conic_c 5:opacity 6:valid 7:pad
       8:r 9:g 10:b 11:depth 12..15:pad
     """
 
-    packed: jnp.ndarray  # (E_out, PACK_WIDTH) float32, fields 0..15 used
+    packed: jnp.ndarray  # (PACK_FIELDS, E_out) float32
     padded_start: jnp.ndarray  # (T,) int32 chunk-aligned range starts
     nchunks: jnp.ndarray  # (T,) int32 chunks per tile
     num_cropped: jnp.ndarray  # () int32
@@ -157,14 +160,17 @@ def bin_gaussians_packed(
     width: int,
     height: int,
     max_span: int = 4,
-    chunk: int = 64,
+    chunk: int = PACK_CHUNK,
 ) -> PackedBins:
     """Binning with chunk-aligned tile ranges and packed entry data.
 
     Unlike the fixed-capacity path there is NO per-tile entry limit: every
     (gaussian, tile) pair within the span capacity gets an entry. E_out is
-    the static bound N*max_span^2 + T*chunk.
+    the static bound N*max_span^2 + T*chunk. ``chunk`` must be 128 (the
+    Mosaic lane-alignment unit of the transposed layout).
     """
+    if chunk % PACK_CHUNK:
+        raise ValueError(f"chunk must be a multiple of {PACK_CHUNK}")
     n = proj.means2d.shape[0]
     x0, y0, x1, y1, tiles_x, tiles_y = tile_rect(proj, width, height)
     span_w = x1 - x0
@@ -200,9 +206,10 @@ def bin_gaussians_packed(
     if (t + 1) * n < 2**31:
         # single fused int32 key sorts ~2x faster than lexicographic
         fused = flat_tile * jnp.int32(n) + flat_rank
-        _, sorted_tile, sorted_gid = jax.lax.sort(
-            (fused, flat_tile, flat_gid), num_keys=1, is_stable=False
+        sorted_key, sorted_gid = jax.lax.sort(
+            (fused, flat_gid), num_keys=1, is_stable=False
         )
+        sorted_tile = sorted_key // jnp.int32(n)
     else:
         sorted_tile, _, sorted_gid = jax.lax.sort(
             (flat_tile, flat_rank, flat_gid), num_keys=2, is_stable=True
@@ -253,15 +260,10 @@ def bin_gaussians_packed(
         ],
         axis=-1,
     )
-    # lane-pad to 128: Mosaic HBM DMA slices must be 128-aligned in the
-    # minor dimension, so entries are stored as (E, 128) rows with the 16
-    # meaningful fields up front (the 8x DMA overhead is latency-hidden;
-    # a tighter sublane-packed layout is a known follow-up optimization).
-    cols = jnp.pad(cols, ((0, 0), (0, PACK_WIDTH - 16)))
     packed = (
-        jnp.zeros((e_out + 1, PACK_WIDTH), jnp.float32)
-        .at[dest]
-        .set(cols, mode="drop")[:e_out]
+        jnp.zeros((PACK_FIELDS, e_out + 1), jnp.float32)
+        .at[:, dest]
+        .set(cols.T, mode="drop")[:, :e_out]
     )
     return PackedBins(
         packed=packed,
