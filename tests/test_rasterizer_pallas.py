@@ -26,16 +26,21 @@ def test_packed_binning_alignment(scene):
     bins = bin_gaussians_packed(
         proj, rv.colors, rv.opacities, cam.width, cam.height, max_span=8, chunk=128
     )
-    starts = np.asarray(bins.padded_start)
-    nch = np.asarray(bins.nchunks)
-    # ranges are chunk-aligned, contiguous, non-overlapping
-    assert (starts % 128 == 0).all()
-    ends = starts + nch * 128
+    starts = np.asarray(bins.tile_start)
+    counts = np.asarray(bins.tile_count)
+    # ranges are contiguous and non-overlapping
+    ends = starts + counts
     assert (starts[1:] == ends[:-1]).all()
     packed = np.asarray(bins.packed)
-    # valid flags inside ranges only where real entries exist
-    total = ends[-1]
-    assert (packed[6, total:] == 0).all()
+    # each tile's entries carry its own tile id in the mask field
+    for t in (0, len(starts) // 2, len(starts) - 1):
+        seg = packed[6, starts[t] : ends[t]]
+        assert (seg == t).all()
+    # tail (invalid entries + padding) can never alias a real tile:
+    # sentinel == num_tiles, padding == -1
+    tail = packed[6, ends[-1]:]
+    assert ((tail >= len(starts)) | (tail == -1.0)).all()
+    assert packed.shape[1] % 128 == 0
 
 
 def test_pallas_forward_matches_oracle(scene):

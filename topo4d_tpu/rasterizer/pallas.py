@@ -41,11 +41,11 @@ def _render_pallas_impl(
         proj, colors, opacities, width, height, max_span=max_span, chunk=chunk
     )
     tiles_x, tiles_y = num_tiles(width, height)
-    max_chunks = -(-n // chunk) + 1  # a tile holds each Gaussian at most once
+    max_chunks = -(-n // chunk) + 2  # a tile holds each Gaussian at most once
     out = pallas_blend(
         bins.packed,
-        bins.padded_start,
-        bins.nchunks,
+        bins.tile_start,
+        bins.tile_count,
         tiles_x,
         tiles_y,
         chunk,

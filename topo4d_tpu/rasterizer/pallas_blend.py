@@ -2,27 +2,28 @@
 
 The production hot path (SURVEY §7 layer 5). Replaces the XLA scan blend of
 ``tiled.py``: per-tile work is proportional to that tile's actual entry
-count (dynamic while-loop over chunk-aligned DMA windows) and every
-intermediate lives in VMEM.
+count (dynamic loop over 128-entry DMA windows) and every intermediate
+lives in VMEM.
 
 Layout: transposed — PIXELS on sublanes (256 rows), ENTRIES on lanes
-(chunk == 128 per DMA window). Packed entry data is (16 fields, E) in HBM
-so each chunk DMA moves exactly 8 KB with lane-aligned offsets. Kernel
-techniques:
+(128 per DMA window). Packed entry data is (16 fields, E) in HBM, sorted
+by (tile, depth) WITHOUT per-tile padding: a tile's boundary windows may
+contain neighboring tiles' entries, which the kernel masks out via the
+tile-id field. Kernel techniques:
 
 - exclusive cumulative transmittance via exp(log1p(-alpha) @ U_strict) —
   the cumprod along entries is a [256,128] x [128,128] MXU matmul;
 - feature accumulation / gradient reductions are matmuls or sublane sums;
-- early termination: the chunk loop exits once every pixel's
+- early termination: the window loop exits once every pixel's
   transmittance drops below 1e-4 (the CUDA per-pixel 'done' rule);
 - the backward kernel is self-contained: a forward resweep stores each
-  chunk's incoming transmittance column in VMEM, then a reverse sweep
-  computes exact gradients with a suffix carry (matching the oracle's
-  autodiff through the same math, incl. the straight-through 0.99 clamp).
-
-Entry ranges are chunk-aligned and disjoint (tiles.bin_gaussians_packed),
-so the backward kernel's full-chunk DMA writes into the per-entry gradient
-buffer are race-free by construction.
+  window's incoming transmittance, then a reverse sweep computes exact
+  gradients with a suffix carry (matching the oracle's autodiff through
+  the same math, incl. the straight-through 0.99 clamp);
+- backward writes ACCUMULATE read-modify-write: boundary windows shared
+  between adjacent tiles chain correctly because the grid is declared
+  sequential ("arbitrary" dimension semantics); tile 0 pre-zeroes the
+  gradient buffer.
 """
 
 from __future__ import annotations
@@ -59,11 +60,11 @@ def _tri_masks(chunk: int):
     return prefix, suffix
 
 
-def _chunk_terms(data, px, py):
-    """Shared forward math for one chunk.
+def _chunk_terms(data, px, py, tile_f):
+    """Shared forward math for one window.
 
-    data: (16, chunk) packed field rows. Returns (alpha, raw, g_exp, dx,
-    dy) with the CUDA skip rules applied; all (PX, chunk).
+    data: (16, chunk) packed field rows. Masks foreign entries (tile-id
+    field != this tile) and applies the CUDA skip rules; all (PX, chunk).
     """
     x = data[0:1, :]
     y = data[1:2, :]
@@ -71,28 +72,35 @@ def _chunk_terms(data, px, py):
     cb = data[3:4, :]
     cc = data[4:5, :]
     op = data[5:6, :]
-    valid = data[6:7, :]
+    mine = data[6:7, :] == tile_f
     dx = x - px  # (PX, chunk)
     dy = y - py
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     g_exp = jnp.exp(power)
     raw = op * g_exp
     alpha = jnp.minimum(ALPHA_MAX, raw)
-    keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & (valid > 0.5)
+    keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & mine
     alpha = jnp.where(keep, alpha, 0.0)
     return alpha, raw, g_exp, dx, dy
 
 
+def _window_bounds(start, count, chunk):
+    """First window index and number of windows covering [start, start+count)."""
+    first = start // chunk
+    last = (start + count + chunk - 1) // chunk
+    return first, jnp.maximum(last - first, 0)
+
+
 def _fwd_kernel(tiles_x: int, chunk: int):
-    def kernel(start_ref, nchunk_ref, packed_hbm, out_ref, buf, sem):
+    def kernel(start_ref, count_ref, packed_hbm, out_ref, buf, sem):
         i = pl.program_id(0)
-        start = start_ref[i]
-        k = nchunk_ref[i]
+        first, k = _window_bounds(start_ref[i], count_ref[i], chunk)
         px, py = _pixel_coords(i, tiles_x)
+        tile_f = i.astype(jnp.float32)
         u_prefix, _ = _tri_masks(chunk)
 
         def get_dma(slot, c):
-            off = pl.multiple_of(start + c * chunk, chunk)
+            off = pl.multiple_of((first + c) * chunk, chunk)
             return pltpu.make_async_copy(
                 packed_hbm.at[:, pl.ds(off, chunk)],
                 buf.at[slot],
@@ -117,7 +125,7 @@ def _fwd_kernel(tiles_x: int, chunk: int):
 
             get_dma(slot, c).wait()
             data = buf[slot]
-            alpha, _, _, _, _ = _chunk_terms(data, px, py)
+            alpha, _, _, _, _ = _chunk_terms(data, px, py, tile_f)
             log1m = jnp.log1p(-alpha)
             s_excl = jax.lax.dot(
                 log1m, u_prefix, preferred_element_type=jnp.float32
@@ -166,7 +174,7 @@ def _fwd_kernel(tiles_x: int, chunk: int):
     jax.jit, static_argnames=("tiles_x", "tiles_y", "chunk", "interpret")
 )
 def _blend_fwd_impl(
-    packed, padded_start, nchunks, tiles_x, tiles_y, chunk, interpret=False
+    packed, tile_start, tile_count, tiles_x, tiles_y, chunk, interpret=False
 ):
     t = tiles_x * tiles_y
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -186,41 +194,52 @@ def _blend_fwd_impl(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, PX, 8), jnp.float32),
         interpret=interpret,
-    )(padded_start, nchunks, packed)
+    )(tile_start, tile_count, packed)
 
 
 def _bwd_kernel(tiles_x: int, chunk: int, max_chunks: int):
-    """Backward: forward resweep (boundary T columns) + reverse grad sweep."""
+    """Backward: resweep (boundary T columns) + reverse RMW grad sweep."""
 
     def kernel(
-        start_ref, nchunk_ref, packed_hbm, g_ref, dpacked_hbm,
-        buf, tb, dbuf, sem, wsem,
+        start_ref, count_ref, packed_hbm, g_ref, zeros_hbm, dpacked_hbm,
+        buf, tb, dbuf, ebuf, sem, wsem, esem,
     ):
+        # dpacked is aliased to a zeros input, so RMW accumulation starts
+        # from a defined state without an in-kernel memset
+        del zeros_hbm
         i = pl.program_id(0)
-        start = start_ref[i]
-        k = nchunk_ref[i]
+        first, k = _window_bounds(start_ref[i], count_ref[i], chunk)
         px, py = _pixel_coords(i, tiles_x)
+        tile_f = i.astype(jnp.float32)
         u_prefix, l_suffix = _tri_masks(chunk)
         g8 = g_ref[0]  # (PX, 8): cols 0-3 feature grads, col 4 T_final grad
         g_final = g8[:, 4:5]  # (PX, 1)
 
         def get_dma(slot, c):
-            off = pl.multiple_of(start + c * chunk, chunk)
+            off = pl.multiple_of((first + c) * chunk, chunk)
             return pltpu.make_async_copy(
                 packed_hbm.at[:, pl.ds(off, chunk)],
                 buf.at[slot],
                 sem.at[slot],
             )
 
-        def put_dma(slot, c):
-            off = pl.multiple_of(start + c * chunk, chunk)
+        def read_grad_dma(slot, c):
+            off = pl.multiple_of((first + c) * chunk, chunk)
+            return pltpu.make_async_copy(
+                dpacked_hbm.at[:, pl.ds(off, chunk)],
+                ebuf.at[slot],
+                esem.at[slot],
+            )
+
+        def write_grad_dma(slot, c):
+            off = pl.multiple_of((first + c) * chunk, chunk)
             return pltpu.make_async_copy(
                 dbuf.at[slot],
                 dpacked_hbm.at[:, pl.ds(off, chunk)],
                 wsem.at[slot],
             )
 
-        # ---- forward resweep: record each chunk's incoming T ------------
+        # ---- forward resweep: record each window's incoming T -----------
         @pl.when(k > 0)
         def _():
             get_dma(0, 0).start()
@@ -234,12 +253,10 @@ def _bwd_kernel(tiles_x: int, chunk: int, max_chunks: int):
                 get_dma(1 - slot, c + 1).start()
 
             get_dma(slot, c).wait()
-            # masked RMW store of this chunk's incoming T column (dynamic
-            # lane indexing is not vectorizable on TPU; a select is)
             col = jax.lax.broadcasted_iota(jnp.int32, tb.shape, 1)
             tb[:, :] = jnp.where(col == c, t_un, tb[:, :])
             data = buf[slot]
-            alpha, _, _, _, _ = _chunk_terms(data, px, py)
+            alpha, _, _, _, _ = _chunk_terms(data, px, py, tile_f)
             log1m = jnp.log1p(-alpha)
             s_excl = jax.lax.dot(
                 log1m, u_prefix, preferred_element_type=jnp.float32
@@ -259,10 +276,11 @@ def _bwd_kernel(tiles_x: int, chunk: int, max_chunks: int):
 
         gt_final = g_final * t_fr  # (PX, 1)
 
-        # ---- reverse sweep ----------------------------------------------
+        # ---- reverse sweep with read-modify-write accumulation ----------
         @pl.when(k > 0)
         def _():
             get_dma(0, k - 1).start()
+            read_grad_dma(0, k - 1).start()
 
         def rbody(j, suf):
             c = k - 1 - j
@@ -274,7 +292,7 @@ def _bwd_kernel(tiles_x: int, chunk: int, max_chunks: int):
 
             get_dma(slot, c).wait()
             data = buf[slot]
-            alpha, raw, g_exp, dx, dy = _chunk_terms(data, px, py)
+            alpha, raw, g_exp, dx, dy = _chunk_terms(data, px, py, tile_f)
             log1m = jnp.log1p(-alpha)
             s_excl = jax.lax.dot(
                 log1m, u_prefix, preferred_element_type=jnp.float32
@@ -324,13 +342,19 @@ def _bwd_kernel(tiles_x: int, chunk: int, max_chunks: int):
                 [dxm, dym, dca, dcb, dcc, dop, zero, dfeat], axis=0
             )  # (16, chunk)
 
-            # wait for the write that used this slot 2 iterations ago
+            # previous write on this slot must land before we reuse dbuf
             @pl.when(j >= 2)
             def _():
-                put_dma(slot, c + 2).wait()
+                write_grad_dma(slot, c + 2).wait()
 
-            dbuf[slot] = dout
-            put_dma(slot, c).start()
+            read_grad_dma(slot, c).wait()
+            dbuf[slot] = ebuf[slot] + dout
+
+            @pl.when(j + 1 < k)
+            def _():
+                read_grad_dma(1 - slot, c - 1).start()
+
+            write_grad_dma(slot, c).start()
             return suf + jnp.sum(q, axis=1, keepdims=True)
 
         suf0 = jnp.zeros((PX, 1), jnp.float32)
@@ -339,11 +363,11 @@ def _bwd_kernel(tiles_x: int, chunk: int, max_chunks: int):
         # drain outstanding writes
         @pl.when(k >= 2)
         def _():
-            put_dma(jax.lax.rem(k - 2, 2), 1).wait()
+            write_grad_dma(jax.lax.rem(k - 2, 2), 1).wait()
 
         @pl.when(k >= 1)
         def _():
-            put_dma(jax.lax.rem(k - 1, 2), 0).wait()
+            write_grad_dma(jax.lax.rem(k - 1, 2), 0).wait()
 
     return kernel
 
@@ -353,11 +377,11 @@ def _bwd_kernel(tiles_x: int, chunk: int, max_chunks: int):
     static_argnames=("tiles_x", "tiles_y", "chunk", "max_chunks", "interpret"),
 )
 def _blend_bwd_impl(
-    packed, padded_start, nchunks, g_out, tiles_x, tiles_y, chunk, max_chunks,
+    packed, tile_start, tile_count, g_out, tiles_x, tiles_y, chunk, max_chunks,
     interpret=False,
 ):
     t = tiles_x * tiles_y
-    e_out = packed.shape[1]
+    e_pad = packed.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t,),
@@ -366,63 +390,65 @@ def _blend_bwd_impl(
             pl.BlockSpec(
                 (1, PX, 8), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, PACK_FIELDS, chunk), jnp.float32),  # read buffers
+            pltpu.VMEM((2, PACK_FIELDS, chunk), jnp.float32),  # entry reads
             pltpu.VMEM((PX, max_chunks), jnp.float32),  # boundary T columns
-            pltpu.VMEM((2, PACK_FIELDS, chunk), jnp.float32),  # write buffers
+            pltpu.VMEM((2, PACK_FIELDS, chunk), jnp.float32),  # grad writes
+            pltpu.VMEM((2, PACK_FIELDS, chunk), jnp.float32),  # grad reads
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    zeros = jnp.zeros((PACK_FIELDS, e_pad), jnp.float32)
     return pl.pallas_call(
         _bwd_kernel(tiles_x, chunk, max_chunks),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((PACK_FIELDS, e_out), jnp.float32),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        out_shape=jax.ShapeDtypeStruct((PACK_FIELDS, e_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            dimension_semantics=("arbitrary",),  # RMW chains need sequential
+        ),
+        input_output_aliases={4: 0},  # zeros input (after 2 scalar args)
         interpret=interpret,
-    )(padded_start, nchunks, packed, g_out)
+    )(tile_start, tile_count, packed, g_out, zeros)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def pallas_blend(
-    packed, padded_start, nchunks, tiles_x, tiles_y, chunk, max_chunks,
+    packed, tile_start, tile_count, tiles_x, tiles_y, chunk, max_chunks,
     interpret=False,
 ):
-    """Blend chunk-aligned packed entries -> (T, PX, 8) tile buffers.
+    """Blend depth-sorted packed entries -> (T, PX, 8) tile buffers.
 
     Cols 0-3: alpha-blended (r, g, b, depth); col 4: final (frozen)
     transmittance T_final; cols 5-7: zero. Background compositing and
     alpha = 1 - T_final happen in XLA outside.
     """
     return _blend_fwd_impl(
-        packed, padded_start, nchunks, tiles_x, tiles_y, chunk, interpret
+        packed, tile_start, tile_count, tiles_x, tiles_y, chunk, interpret
     )
 
 
 def _pallas_blend_fwd(
-    packed, padded_start, nchunks, tiles_x, tiles_y, chunk, max_chunks,
+    packed, tile_start, tile_count, tiles_x, tiles_y, chunk, max_chunks,
     interpret=False,
 ):
     out = _blend_fwd_impl(
-        packed, padded_start, nchunks, tiles_x, tiles_y, chunk, interpret
+        packed, tile_start, tile_count, tiles_x, tiles_y, chunk, interpret
     )
-    return out, (packed, padded_start, nchunks)
+    return out, (packed, tile_start, tile_count)
 
 
 def _pallas_blend_bwd(tiles_x, tiles_y, chunk, max_chunks, interpret, res, g_out):
-    packed, padded_start, nchunks = res
+    packed, tile_start, tile_count = res
     dpacked = _blend_bwd_impl(
-        packed, padded_start, nchunks, g_out, tiles_x, tiles_y, chunk, max_chunks,
-        interpret,
+        packed, tile_start, tile_count, g_out, tiles_x, tiles_y, chunk,
+        max_chunks, interpret,
     )
-    # zero columns the kernel never writes (beyond the covered padded ranges)
-    total = padded_start[-1] + nchunks[-1] * chunk
-    covered = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, packed.shape[1]), 1) < total
-    )
-    dpacked = jnp.where(covered, dpacked, 0.0)
     return (dpacked, None, None)
 
 

@@ -130,23 +130,27 @@ def num_tiles(width: int, height: int):
 
 
 class PackedBins(NamedTuple):
-    """Chunk-aligned per-tile entry ranges with packed per-entry data.
+    """Depth-sorted per-tile entry ranges with packed per-entry data.
 
-    Every tile's entry range is padded to a multiple of ``chunk`` so a
-    chunk window never crosses a tile boundary — forward DMA reads and
-    backward DMA writes stay within one tile's range (the backward kernel
-    writes whole chunks; disjoint ranges make that race-free).
+    Entries are sorted by (tile, depth) and stored UNPADDED; a tile's range
+    [start, start+count) may share its boundary 128-entry DMA windows with
+    neighboring tiles. Kernels mask foreign entries via the tile-id field,
+    and the backward kernel accumulates shared windows read-modify-write
+    under sequential grid execution.
 
-    packed layout (PACK_FIELDS, E_out) — fields x entries, transposed so
-    entries ride the 128-lane axis (DMA slices need 128-aligned minor
-    dims; offsets stay aligned because chunk == 128):
-      0:x 1:y 2:conic_a 3:conic_b 4:conic_c 5:opacity 6:valid 7:pad
+    packed layout (PACK_FIELDS, E_pad) — fields x entries, transposed so
+    entries ride the 128-lane axis (DMA windows need 128-aligned minor
+    dims):
+      0:x 1:y 2:conic_a 3:conic_b 4:conic_c 5:opacity 6:tile_id 7:pad
       8:r 9:g 10:b 11:depth 12..15:pad
+
+    The field data rides THROUGH the lax.sort as extra operands — a
+    post-sort gather of 16 fields costs ~3 ms on TPU, sort-with-data ~0.5.
     """
 
-    packed: jnp.ndarray  # (PACK_FIELDS, E_out) float32
-    padded_start: jnp.ndarray  # (T,) int32 chunk-aligned range starts
-    nchunks: jnp.ndarray  # (T,) int32 chunks per tile
+    packed: jnp.ndarray  # (PACK_FIELDS, E_pad) float32
+    tile_start: jnp.ndarray  # (T,) int32 first entry of each tile
+    tile_count: jnp.ndarray  # (T,) int32 entries per tile
     num_cropped: jnp.ndarray  # () int32
 
 
@@ -199,22 +203,35 @@ def bin_gaussians_packed(
     e = n * r
     flat_tile = tile_id.reshape(-1)
     flat_rank = jnp.broadcast_to(rank[:, None], (n, r)).reshape(-1)
-    flat_gid = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, r)
-    ).reshape(-1)
 
-    if (t + 1) * n < 2**31:
-        # single fused int32 key sorts ~2x faster than lexicographic
-        fused = flat_tile * jnp.int32(n) + flat_rank
-        sorted_key, sorted_gid = jax.lax.sort(
-            (fused, flat_gid), num_keys=1, is_stable=False
+    def expand(v):
+        return jnp.broadcast_to(v[:, None], (n, r)).reshape(-1)
+
+    if (t + 1) * n >= 2**31:
+        raise NotImplementedError(
+            "tile_id * n exceeds int32 fused-key range; shard the image or "
+            "reduce N per shard"
         )
-        sorted_tile = sorted_key // jnp.int32(n)
-    else:
-        sorted_tile, _, sorted_gid = jax.lax.sort(
-            (flat_tile, flat_rank, flat_gid), num_keys=2, is_stable=True
-        )
-    entry_valid = sorted_tile < t
+    fused = flat_tile * jnp.int32(n) + flat_rank
+    sorted_vals = jax.lax.sort(
+        (
+            fused,
+            expand(proj.means2d[:, 0]),
+            expand(proj.means2d[:, 1]),
+            expand(proj.conics[:, 0]),
+            expand(proj.conics[:, 1]),
+            expand(proj.conics[:, 2]),
+            expand(opacities),
+            expand(colors[:, 0]),
+            expand(colors[:, 1]),
+            expand(colors[:, 2]),
+            expand(proj.depths),
+        ),
+        num_keys=1,
+        is_stable=False,
+    )
+    sorted_key = sorted_vals[0]
+    sorted_tile = sorted_key // jnp.int32(n)
 
     tile_start = jnp.searchsorted(
         sorted_tile, jnp.arange(t, dtype=jnp.int32), side="left"
@@ -222,52 +239,33 @@ def bin_gaussians_packed(
     tile_end = jnp.searchsorted(
         sorted_tile, jnp.arange(t, dtype=jnp.int32), side="right"
     ).astype(jnp.int32)
-    count = tile_end - tile_start
-    nchunks = -(-count // chunk)
-    padded_count = nchunks * chunk
-    padded_start = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded_count)[:-1].astype(jnp.int32)]
-    )
 
-    e_out = e + t * chunk  # static upper bound on sum(padded_count)
-    safe_tile = jnp.minimum(sorted_tile, t - 1)
-    dest = jnp.where(
-        entry_valid,
-        padded_start[safe_tile]
-        + (jnp.arange(e, dtype=jnp.int32) - tile_start[safe_tile]),
-        e_out,
-    )
-
-    gid = sorted_gid
-    cols = jnp.stack(
-        [
-            proj.means2d[gid, 0],
-            proj.means2d[gid, 1],
-            proj.conics[gid, 0],
-            proj.conics[gid, 1],
-            proj.conics[gid, 2],
-            opacities[gid],
-            entry_valid.astype(jnp.float32),
-            jnp.zeros(e, jnp.float32),
-            colors[gid, 0],
-            colors[gid, 1],
-            colors[gid, 2],
-            proj.depths[gid],
-            jnp.zeros(e, jnp.float32),
-            jnp.zeros(e, jnp.float32),
-            jnp.zeros(e, jnp.float32),
-            jnp.zeros(e, jnp.float32),
-        ],
-        axis=-1,
-    )
-    packed = (
-        jnp.zeros((PACK_FIELDS, e_out + 1), jnp.float32)
-        .at[:, dest]
-        .set(cols.T, mode="drop")[:, :e_out]
-    )
+    zeros = jnp.zeros(e, jnp.float32)
+    rows = [
+        sorted_vals[1],  # x
+        sorted_vals[2],  # y
+        sorted_vals[3],  # conic a
+        sorted_vals[4],  # conic b
+        sorted_vals[5],  # conic c
+        sorted_vals[6],  # opacity
+        sorted_tile.astype(jnp.float32),  # tile id (mask field)
+        zeros,
+        sorted_vals[7],  # r
+        sorted_vals[8],  # g
+        sorted_vals[9],  # b
+        sorted_vals[10],  # depth
+        zeros,
+        zeros,
+        zeros,
+        zeros,
+    ]
+    packed = jnp.stack(rows, axis=0)
+    pad = (-e) % chunk + chunk  # keep boundary DMA windows in bounds
+    # tile field -1 so padding can never alias a real tile's mask
+    packed = jnp.pad(packed, ((0, 0), (0, pad)), constant_values=-1.0)
     return PackedBins(
         packed=packed,
-        padded_start=padded_start,
-        nchunks=nchunks,
+        tile_start=tile_start,
+        tile_count=tile_end - tile_start,
         num_cropped=num_cropped,
     )
