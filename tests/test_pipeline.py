@@ -1,0 +1,177 @@
+"""End-to-end pipeline test: scene build -> trainer -> checkpoints -> export.
+
+Runs a 3-frame synthetic sequence through the FULL orchestration
+(init + tracking phases, constraints, warm starts, resume, export) at tiny
+scale on CPU — BASELINE config 3's shape (frame-by-frame warm-started
+tracking).
+"""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from topo4d_tpu.config import Config
+from topo4d_tpu.pipeline.checkpoint import load_params, load_resume
+from topo4d_tpu.pipeline.data import SyntheticSequence, view_order
+from topo4d_tpu.pipeline.scene import build_scene
+from topo4d_tpu.pipeline.trainer import Trainer
+from topo4d_tpu.testing import (
+    make_camera_ring,
+    make_grid_mesh,
+    make_synthetic_regions,
+)
+from topo4d_tpu.topology.obj_io import MeshObj
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    rows = cols = 10
+    verts, faces = make_grid_mesh(rows, cols, extent=0.5)
+    n = verts.shape[0]
+    uvs = np.stack(
+        np.meshgrid(
+            np.linspace(0.05, 0.95, cols), np.linspace(0.05, 0.95, rows),
+            indexing="xy",
+        ),
+        -1,
+    ).reshape(-1, 2).astype(np.float32)
+    mesh = MeshObj(
+        vertices=verts, uvs=uvs, faces=faces,
+        uv_faces=[list(f) for f in faces],
+    )
+    regions = make_synthetic_regions(n, faces)
+
+    cfg = Config()
+    cfg.data.output_dir = str(tmp_path_factory.mktemp("out"))
+    cfg.data.use_mask = False
+    cfg.schedule.frame_num = 3
+    cfg.schedule.init_opt_num = 12
+    cfg.schedule.opt_num = 8
+    cfg.schedule.polish_iters = 2
+    cfg.schedule.log_freq = 4
+    cfg.schedule.ckp_freq = 1
+    cfg.schedule.dense_opt_num = 4
+    cfg.schedule.dense_log_freq = 2
+    cfg.raster.backend = "tiled"
+    cfg.raster.capacity = 256
+    cfg.texture.gen_tex = True
+    cfg.texture.density = 2
+    cfg.texture.tex_res = 64
+    cfg.texture.bake_window = 16
+    cfg.texture.bake_bands = 2
+
+    params, statics = build_scene(mesh, regions, cfg, num_views=4)
+    cams = make_camera_ring(4, width=48, height=32, distance=2.0)
+    source = SyntheticSequence(params=params, cameras=cams, num_frames=3)
+    trainer = Trainer(cfg, source, params, statics)
+    trainer.run(resume=False)
+    return cfg, trainer, statics
+
+
+def test_pipeline_produces_outputs(tiny_setup):
+    cfg, trainer, statics = tiny_setup
+    out = os.path.join(cfg.data.output_dir, cfg.data.exp, cfg.data.seq)
+    # per-frame OBJ exports with the ORIGINAL topology
+    for t in (1, 2, 3):
+        path = os.path.join(out, "%06d" % t, "face.obj")
+        assert os.path.exists(path), path
+    # texture baked
+    assert os.path.exists(os.path.join(out, "000001", "face.png"))
+    # params.npz with delta compression
+    p = load_params(os.path.join(out, "params.npz"))
+    assert p["means3D"].ndim == 3  # stacked over frames
+    assert p["cam_m"].ndim == 2  # frame-0 only key not stacked
+    # resume checkpoint exists and points past the last frame
+    payload = load_resume(out)
+    assert payload["frame"] == 3
+    # metrics logged
+    lines = open(os.path.join(out, "metrics.jsonl")).read().splitlines()
+    assert len(lines) > 3
+    row = json.loads(lines[0])
+    assert np.isfinite(row["loss_total"])
+
+
+def test_topology_bitwise_stable_across_frames(tiny_setup):
+    cfg, trainer, statics = tiny_setup
+    out = os.path.join(cfg.data.output_dir, cfg.data.exp, cfg.data.seq)
+
+    def read_topology(path):
+        faces = [l for l in open(path) if l.startswith("f ")]
+        return "".join(faces)
+
+    t1 = read_topology(os.path.join(out, "000001", "face.obj"))
+    t2 = read_topology(os.path.join(out, "000002", "face.obj"))
+    t3 = read_topology(os.path.join(out, "000003", "face.obj"))
+    assert t1 == t2 == t3  # bitwise-stable topology (the whole point)
+
+
+def test_static_region_pinned(tiny_setup):
+    cfg, trainer, statics = tiny_setup
+    static_idx = statics.regions.masks["static_masks"]
+    np.testing.assert_allclose(
+        np.asarray(trainer.state.params["means3D"])[static_idx],
+        np.asarray(trainer.params0["means3D"])[static_idx],
+        atol=1e-7,
+    )
+
+
+def test_constraint_values_applied(tiny_setup):
+    cfg, trainer, statics = tiny_setup
+    m = statics.regions.masks
+    params = trainer.state.params
+    # mouth-inner scales pinned to log(0.002) (train.py:681)
+    np.testing.assert_allclose(
+        np.asarray(params["log_scales"])[m["mouth_inner_masks"]],
+        np.log(0.002),
+        atol=1e-6,
+    )
+    # dynamic-mouth colors pinned to 0
+    np.testing.assert_allclose(
+        np.asarray(params["rgb_colors"])[m["dynamic_mouth_masks"]], 0.0,
+        atol=1e-7,
+    )
+
+
+def test_resume_continues(tiny_setup, tmp_path):
+    cfg, trainer, statics = tiny_setup
+    # new trainer resuming from saved state should jump past all frames
+    source = trainer.source
+    params = {k: np.asarray(v) for k, v in trainer.params0.items()}
+    t2 = Trainer(cfg, source, params, statics)
+    t2.run(resume=True)  # frames already done -> no-op
+    payload = load_resume(
+        os.path.join(cfg.data.output_dir, cfg.data.exp, cfg.data.seq)
+    )
+    assert payload["frame"] == 3
+
+
+def test_view_order_covers_all_views():
+    order = view_order(4, 10, seed=0)
+    assert order.shape == (10,)
+    # each epoch of 4 is a permutation
+    assert set(order[:4].tolist()) == {0, 1, 2, 3}
+    assert set(order[4:8].tolist()) == {0, 1, 2, 3}
+
+
+def test_cli_config_wiring():
+    from topo4d_tpu.cli import build_argparser, config_from_args
+
+    args = build_argparser().parse_args(
+        ["-e", "expX", "-s", "seqY", "-fn", "10", "--gen_tex", "-tr", "512",
+         "--backend", "tiled", "--views_per_step", "0"]
+    )
+    cfg = config_from_args(args)
+    assert cfg.data.exp == "expX" and cfg.data.seq == "seqY"
+    assert cfg.schedule.frame_num == 10
+    assert cfg.texture.gen_tex and cfg.texture.tex_res == 512
+    assert cfg.raster.backend == "tiled"
+    assert cfg.schedule.views_per_step == 0
+    # config JSON roundtrip
+    from topo4d_tpu.config import Config
+
+    cfg2 = Config.from_json(cfg.to_json())
+    assert cfg2.texture.tex_res == 512
+    assert cfg2.weights.rigid == cfg.weights.rigid

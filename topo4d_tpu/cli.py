@@ -1,0 +1,145 @@
+"""Command-line entry point (reference train.py:759-786 argparse surface).
+
+Usage:
+  python -m topo4d_tpu.cli --input_dir ... --seq seq_01 [--gen_tex] ...
+
+Every reference flag is kept (same names); additionally ``--config`` loads
+a full JSON config (see ``topo4d_tpu.config.Config``) and ``--backend``
+selects the rasterizer implementation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Topo4D-TPU sequence fitting")
+    p.add_argument("-e", "--exp", type=str, default="exp_op1",
+                   help="Experiment name.")
+    p.add_argument("-s", "--seq", type=str, default="seq_01",
+                   help="Input sequence name.")
+    p.add_argument("-id", "--input_dir", type=str, default="",
+                   help="Root of inputs ($input_dir/$seq).")
+    p.add_argument("-od", "--output_dir", type=str, default="output",
+                   help="Root of outputs ($output_dir/$exp/$seq).")
+    p.add_argument("-did", "--dense_input_dir", type=str, default="",
+                   help="Root of full-resolution inputs.")
+    p.add_argument("-fn", "--frame_num", type=int, default=800)
+    p.add_argument("-t", "--gen_tex", action="store_true")
+    p.add_argument("-tr", "--tex_res", type=int, default=8192)
+    p.add_argument("-dn", "--density", type=int, default=30)
+    p.add_argument("-dr", "--down_ratio", type=int, default=8)
+    p.add_argument("-ddr", "--dense_down_ratio", type=int, default=1)
+    p.add_argument("-ion", "--init_opt_num", type=int, default=7000)
+    p.add_argument("-on", "--opt_num", type=int, default=1100)
+    p.add_argument("-don", "--dense_opt_num", type=int, default=301)
+    p.add_argument("-lf", "--log_freq", type=int, default=500)
+    p.add_argument("-dlf", "--dense_log_freq", type=int, default=300)
+    p.add_argument("-lv", "--log_views", type=str, nargs="*",
+                   default=["K98707293"])
+    p.add_argument("-cf", "--ckp_freq", type=int, default=5)
+    p.add_argument("--config", type=str, default="",
+                   help="JSON config file overriding all defaults.")
+    p.add_argument("--backend", type=str, default="pallas",
+                   choices=["pallas", "tiled", "oracle"])
+    p.add_argument("--views_per_step", type=int, default=1,
+                   help="1 = reference parity; 0 = all views batched.")
+    p.add_argument("--no_resume", action="store_true")
+    p.add_argument("--no_mask", action="store_true",
+                   help="Disable face-parsing masks even if configured on.")
+    p.add_argument("--regions_pkl", type=str, default="",
+                   help="Path to facial_regions.pkl (default: "
+                        "$input_dir/assets/facial_regions.pkl, falling back "
+                        "to ./assets/facial_regions.pkl).")
+    return p
+
+
+def config_from_args(args) -> "Config":
+    from topo4d_tpu.config import Config
+
+    if args.config:
+        with open(args.config) as fh:
+            cfg = Config.from_json(fh.read())
+    else:
+        cfg = Config()
+    d, s, tx = cfg.data, cfg.schedule, cfg.texture
+    d.exp, d.seq = args.exp, args.seq
+    d.input_dir, d.output_dir = args.input_dir, args.output_dir
+    d.dense_input_dir = args.dense_input_dir or args.input_dir
+    d.down_ratio, d.dense_down_ratio = args.down_ratio, args.dense_down_ratio
+    d.log_views = list(args.log_views)
+    s.frame_num = args.frame_num
+    s.init_opt_num, s.opt_num = args.init_opt_num, args.opt_num
+    s.dense_opt_num = args.dense_opt_num
+    s.log_freq, s.dense_log_freq = args.log_freq, args.dense_log_freq
+    s.ckp_freq = args.ckp_freq
+    s.views_per_step = args.views_per_step
+    tx.gen_tex, tx.tex_res, tx.density = args.gen_tex, args.tex_res, args.density
+    cfg.raster.backend = args.backend
+    if args.no_mask:
+        d.use_mask = False
+    if args.regions_pkl:
+        d.regions_pkl = args.regions_pkl
+    else:
+        cand = os.path.join(d.input_dir, "assets", "facial_regions.pkl")
+        if os.path.exists(cand):
+            d.regions_pkl = cand
+    return cfg
+
+
+def main(argv=None) -> None:
+    args = build_argparser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    out_dir = os.path.join(cfg.data.output_dir, cfg.data.exp, cfg.data.seq)
+    if os.path.exists(out_dir) and args.no_resume:
+        print(
+            f"Experiment '{cfg.data.exp}' for sequence '{cfg.data.seq}' "
+            f"already exists and --no_resume given. Exiting."
+        )
+        return
+
+    from topo4d_tpu.pipeline.data import DiskSequence
+    from topo4d_tpu.pipeline.scene import build_scene
+    from topo4d_tpu.pipeline.trainer import Trainer
+    from topo4d_tpu.topology.obj_io import load_obj, sample_vertex_colors
+    from topo4d_tpu.topology.regions import load_facial_regions
+
+    source = DiskSequence(cfg)
+    seq_dir = os.path.join(cfg.data.input_dir, cfg.data.seq)
+    mesh = load_obj(os.path.join(seq_dir, cfg.data.startup_mesh))
+    regions = load_facial_regions(cfg.data.regions_pkl)
+
+    vertex_colors = None
+    tex_path = os.path.join(seq_dir, "face_v5.png")
+    if os.path.exists(tex_path):
+        from PIL import Image
+
+        tex = np.asarray(Image.open(tex_path))
+        vertex_colors = (
+            sample_vertex_colors(
+                tex, mesh.num_vertices, mesh.faces, mesh.uv_faces, mesh.uvs
+            )
+            / 255.0
+        )
+
+    params, statics = build_scene(
+        mesh, regions, cfg,
+        vertex_colors=vertex_colors,
+        trans_g=source.trans_g,
+        num_views=source.num_views,
+    )
+    trainer = Trainer(cfg, source, params, statics)
+    # save the effective config next to outputs
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "config.json"), "w") as fh:
+        fh.write(cfg.to_json())
+    trainer.run(resume=not args.no_resume)
+
+
+if __name__ == "__main__":
+    main()

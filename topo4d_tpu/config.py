@@ -1,0 +1,220 @@
+"""Run configuration: every hard-coded table of the reference as data.
+
+The reference buries its scientific payload in code — per-camera rotations
+(train.py:28-35), loss weights (train.py:535-543), LR schedules
+(train.py:272-297, 606-616, 705-711), per-region multipliers
+(train.py:546-585), face-parsing labels (train.py:50-55). Here they are a
+single dataclass tree (SURVEY §5): serializable, overridable from the CLI,
+and saved next to checkpoints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Dict, List, Optional, Tuple
+
+from topo4d_tpu.topology.regions import (
+    ISO_REGION_MULTIPLIERS,
+    RIGID_REGION_MULTIPLIERS,
+    ROT_REGION_MULTIPLIERS,
+)
+
+# Per-camera +/-90-degree rotation of the input views (reference
+# train.py:28-35): -1 clockwise, +1 anticlockwise.
+DEFAULT_ROTATE_MASK: Dict[str, int] = {
+    "J87351627": -1, "K19210959": -1, "K98707288": 1, "K98707289": 1,
+    "K98707290": -1, "K98707291": 1, "K98707292": -1, "K98707293": -1,
+    "K98707294": -1, "K98707295": -1, "K98707296": 1, "K98707297": -1,
+    "K99216880": -1, "K99216881": -1, "K99216882": 1, "K99216883": 1,
+    "K99216885": 1, "K99216886": -1, "K99216887": 1, "K99216888": 1,
+    "K99216890": -1, "K99216891": -1, "K99216892": 1, "K99216893": 1,
+}
+
+# Face-parsing label colormap indices (reference train.py:50-55).
+DEFAULT_CMAP_INDEX: Dict[str, int] = {
+    "background": 0, "skin": 1, "l_eyebrow": 2, "r_eyebrow": 3,
+    "l_eye": 4, "r_eye": 5, "nose": 6, "upper_lip": 7,
+    "inner_mouth": 8, "lower_lip": 9, "hair": 10, "l_ear": 11,
+    "r_ear": 12, "glasses": 13,
+}
+
+
+@dataclasses.dataclass
+class LossWeights:
+    """Global loss weights (reference train.py:535-543)."""
+
+    im: float = 1.0
+    rigid: float = 3.5
+    rot: float = 20.0
+    iso: float = 20.0
+    flat: float = 2e-4
+    flat_lip_bottom: float = 2e-4
+    flat_lid_top: float = 2e-4
+    flat_lid_bottom: float = 1e-2
+    flat_lip: float = 1e-4
+    flat_mouth: float = 1e-3
+    flat_eye: float = 1e4
+    flat_face_bottom: float = 1e3
+    flat_lip_socket: float = 1e3
+    scale: float = 10.0
+    scale_max: float = 10.0
+
+    def as_dict(self) -> Dict[str, float]:
+        return dataclasses.asdict(self)
+
+
+@dataclasses.dataclass
+class DenseLossWeights:
+    """Texture-phase weights (reference train.py:541-543)."""
+
+    im: float = 1.0
+    soft_color: float = 0.02
+
+    def as_dict(self) -> Dict[str, float]:
+        return dataclasses.asdict(self)
+
+
+@dataclasses.dataclass
+class LearningRates:
+    """Per-parameter Adam LRs for the three phases.
+
+    init: frame 0 (train.py:272-297); track: frames > 0 (train.py:606-616);
+    polish: last 100 iterations of tracking (train.py:705-711).
+    """
+
+    init: Dict[str, float] = dataclasses.field(default_factory=lambda: {
+        "means3D": 0.0, "rgb_colors": 2.5e-3, "unnorm_rotations": 1e-3,
+        "logit_opacities": 0.0, "log_scales": 1e-3,
+        "cam_m": 1e-4, "cam_c": 1e-4,
+    })
+    track: Dict[str, float] = dataclasses.field(default_factory=lambda: {
+        "means3D": 1.6e-5, "rgb_colors": 0.0, "unnorm_rotations": 1e-3,
+        "logit_opacities": 0.0, "log_scales": 0.0,
+        "cam_m": 0.0, "cam_c": 0.0,
+    })
+    polish: Dict[str, float] = dataclasses.field(default_factory=lambda: {
+        "means3D": 0.0, "rgb_colors": 2.5e-4, "unnorm_rotations": 1e-3,
+        "logit_opacities": 0.0, "log_scales": 0.0,
+        "cam_m": 0.0, "cam_c": 0.0,
+    })
+    dense: Dict[str, float] = dataclasses.field(default_factory=lambda: {
+        "dense_rgb_colors": 2.5e-3, "dense_unnorm_rotations": 1e-3,
+        "dense_logit_opacities": 0.0, "dense_log_scales": 0.0,
+    })
+
+
+@dataclasses.dataclass
+class RasterizerConfig:
+    backend: str = "pallas"  # pallas | tiled | oracle
+    max_span: int = 4  # tiles per axis per Gaussian before cropping
+    chunk: int = 128
+    capacity: int = 1024  # tiled backend per-tile capacity
+    near: float = 0.01
+    far: float = 100.0
+    bg: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+
+@dataclasses.dataclass
+class ScheduleConfig:
+    """Iteration schedule (reference train.py:767-780)."""
+
+    frame_num: int = 800
+    init_opt_num: int = 7000
+    opt_num: int = 1100
+    dense_opt_num: int = 301
+    polish_iters: int = 100  # final color-polish window (train.py:705)
+    eye_freeze_frac: float = 0.7  # frame-0 eye-region freeze (train.py:683)
+    log_freq: int = 500
+    dense_log_freq: int = 300
+    ckp_freq: int = 5
+    views_per_step: int = 1  # 1 = reference parity; 0 = all views batched
+
+
+@dataclasses.dataclass
+class DataConfig:
+    input_dir: str = ""
+    dense_input_dir: str = ""
+    output_dir: str = ""
+    exp: str = "exp_01"
+    seq: str = "seq_01"
+    down_ratio: int = 8
+    dense_down_ratio: int = 1
+    use_mask: bool = True
+    use_mask_dense: bool = False
+    startup_mesh: str = "face_v5.obj"
+    regions_pkl: str = "assets/facial_regions.pkl"
+    rotate_mask: Dict[str, int] = dataclasses.field(
+        default_factory=lambda: dict(DEFAULT_ROTATE_MASK)
+    )
+    blacklist: List[str] = dataclasses.field(default_factory=list)
+    cmap_index: Dict[str, int] = dataclasses.field(
+        default_factory=lambda: dict(DEFAULT_CMAP_INDEX)
+    )
+    log_views: List[str] = dataclasses.field(
+        default_factory=lambda: ["K98707293"]
+    )
+    max_cams: int = 24
+
+
+@dataclasses.dataclass
+class TextureConfig:
+    gen_tex: bool = False
+    tex_res: int = 8192
+    density: int = 30
+    bake_window: int = 16
+    bake_bands: int = 8
+
+
+@dataclasses.dataclass
+class Config:
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    schedule: ScheduleConfig = dataclasses.field(default_factory=ScheduleConfig)
+    raster: RasterizerConfig = dataclasses.field(default_factory=RasterizerConfig)
+    weights: LossWeights = dataclasses.field(default_factory=LossWeights)
+    dense_weights: DenseLossWeights = dataclasses.field(
+        default_factory=DenseLossWeights
+    )
+    lrs: LearningRates = dataclasses.field(default_factory=LearningRates)
+    texture: TextureConfig = dataclasses.field(default_factory=TextureConfig)
+    # per-region one-ring weight multipliers (reference train.py:546-585)
+    iso_region_multipliers: Dict[str, float] = dataclasses.field(
+        default_factory=lambda: dict(ISO_REGION_MULTIPLIERS)
+    )
+    rigid_region_multipliers: Dict[str, float] = dataclasses.field(
+        default_factory=lambda: dict(RIGID_REGION_MULTIPLIERS)
+    )
+    rot_region_multipliers: Dict[str, float] = dataclasses.field(
+        default_factory=lambda: dict(ROT_REGION_MULTIPLIERS)
+    )
+    # one-ring neighbor weight sharpness exp(-k d^2) (train.py:196)
+    neighbor_weight_k: float = 2000.0
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "Config":
+        raw = json.loads(text)
+        return cls(
+            data=DataConfig(**raw.get("data", {})),
+            schedule=ScheduleConfig(**raw.get("schedule", {})),
+            raster=RasterizerConfig(**{
+                **raw.get("raster", {}),
+                "bg": tuple(raw.get("raster", {}).get("bg", (0, 0, 0))),
+            }),
+            weights=LossWeights(**raw.get("weights", {})),
+            dense_weights=DenseLossWeights(**raw.get("dense_weights", {})),
+            lrs=LearningRates(**raw.get("lrs", {})),
+            texture=TextureConfig(**raw.get("texture", {})),
+            iso_region_multipliers=raw.get(
+                "iso_region_multipliers", dict(ISO_REGION_MULTIPLIERS)
+            ),
+            rigid_region_multipliers=raw.get(
+                "rigid_region_multipliers", dict(RIGID_REGION_MULTIPLIERS)
+            ),
+            rot_region_multipliers=raw.get(
+                "rot_region_multipliers", dict(ROT_REGION_MULTIPLIERS)
+            ),
+            neighbor_weight_k=raw.get("neighbor_weight_k", 2000.0),
+        )

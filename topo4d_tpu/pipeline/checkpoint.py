@@ -1,0 +1,103 @@
+"""Checkpointing: reference-compatible params.npz + full resumable state.
+
+The reference only SAVES (no resume): every 5 frames it stacks per-frame
+param snapshots into ``params.npz``, delta-compressed — frame 0 stores all
+non-dense params, later frames only means3D/rgb/rotations
+(helpers.py:160-178). We keep that artifact bit-compatible AND add a
+resume checkpoint (params + Adam moments + temporal priors + frame index),
+which the reference lacks (SURVEY §5 failure-detection row).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+DELTA_KEYS = ("means3D", "rgb_colors", "unnorm_rotations")
+
+
+def params_snapshot(
+    params: Dict, is_initial_timestep: bool
+) -> Dict[str, np.ndarray]:
+    """Per-frame snapshot (reference ``params2cpu``, helpers.py:160-166)."""
+    if is_initial_timestep:
+        return {
+            k: np.asarray(v)
+            for k, v in params.items()
+            if not k.startswith("dense")
+        }
+    return {k: np.asarray(params[k]) for k in DELTA_KEYS}
+
+
+def save_params(output_params: List[Dict[str, np.ndarray]], out_dir: str):
+    """Stack snapshots into params.npz (reference helpers.py:169-178)."""
+    to_save = {}
+    for k in output_params[0].keys():
+        if len(output_params) > 1 and k in output_params[1]:
+            to_save[k] = np.stack([p[k] for p in output_params])
+        else:
+            to_save[k] = output_params[0][k]
+    os.makedirs(out_dir, exist_ok=True)
+    np.savez(os.path.join(out_dir, "params"), **to_save)
+
+
+def load_params(path: str) -> Dict[str, np.ndarray]:
+    with np.load(path) as data:
+        return {k: data[k] for k in data.files}
+
+
+def save_resume(
+    out_dir: str,
+    frame: int,
+    state,
+    priors,
+    first_frame_attrs: Optional[Dict],
+    output_params: List[Dict[str, np.ndarray]],
+    texture_state=None,
+):
+    """Full mid-sequence resume checkpoint (atomic write)."""
+    os.makedirs(out_dir, exist_ok=True)
+    payload = {
+        "frame": frame,
+        "state": jax.tree_util.tree_map(np.asarray, state),
+        "priors": jax.tree_util.tree_map(np.asarray, priors),
+        "first_frame_attrs": (
+            jax.tree_util.tree_map(np.asarray, first_frame_attrs)
+            if first_frame_attrs is not None
+            else None
+        ),
+        "output_params": output_params,
+        "texture_state": (
+            jax.tree_util.tree_map(np.asarray, texture_state)
+            if texture_state is not None
+            else None
+        ),
+    }
+    tmp = os.path.join(out_dir, "resume.pkl.tmp")
+    with open(tmp, "wb") as fh:
+        pickle.dump(payload, fh)
+    os.replace(tmp, os.path.join(out_dir, "resume.pkl"))
+
+
+def load_resume(out_dir: str):
+    path = os.path.join(out_dir, "resume.pkl")
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as fh:
+        return pickle.load(fh)
+
+
+def write_loss_json(out_dir: str, losses_enabled: Dict, weights: Dict):
+    """One-shot loss config dump (reference helpers.py:826-833)."""
+    import json
+
+    path = os.path.join(out_dir, "loss.json")
+    if os.path.exists(path):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump([losses_enabled, weights], fh, indent=4)

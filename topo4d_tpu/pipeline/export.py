@@ -1,0 +1,126 @@
+"""Mesh + texture export (reference ``save_mesh``, helpers.py:963-998).
+
+For frames > 1 the exported vertices are offset along their normals by the
+Gaussian's half-extent along the normal (``cast_scales``, clamped to
+[0, 1e-3]) to compensate the splat's thickness; the inverse global
+transform maps back to the capture frame; the OBJ keeps the ORIGINAL
+quad-dominant topology + UVs — bitwise-identical across frames.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from topo4d_tpu.core.quaternion import quat_to_rotmat
+from topo4d_tpu.pipeline.scene import SceneStatics
+from topo4d_tpu.texture.bake import bake_texture, process_uv
+from topo4d_tpu.topology.normals import vertex_normals
+from topo4d_tpu.topology.obj_io import write_obj_with_uv
+
+
+@jax.jit
+def exported_vertices(
+    means3d: jnp.ndarray,
+    log_scales: jnp.ndarray,
+    unnorm_rotations: jnp.ndarray,
+    tri_faces: jnp.ndarray,
+    inv_trans_g: jnp.ndarray,  # (4, 4)
+    apply_cast: jnp.ndarray,  # () bool — frames > 1 only
+) -> jnp.ndarray:
+    """Normal-offset + inverse-global-transform vertex positions."""
+    normals = vertex_normals(means3d, tri_faces)
+    scales = jnp.exp(log_scales)
+    rots = quat_to_rotmat(unnorm_rotations)
+    # R^{-1} n = R^T n (the reference inverts the matrix; same thing)
+    n_rot = jnp.einsum("nji,nj->ni", rots, normals)
+    cast = jnp.sqrt(1.0 / jnp.sum((n_rot**2) / (scales**2), axis=1))
+    cast = jnp.clip(cast, 0.0, 1e-3)
+    verts = means3d + jnp.where(apply_cast, 1.0, 0.0) * cast[:, None] * normals
+    return verts @ inv_trans_g[:3, :3].T + inv_trans_g[:3, 3]
+
+
+def save_mesh(
+    out_dir: str,
+    params: Dict[str, jnp.ndarray],
+    statics: SceneStatics,
+    frame: int,
+    dense_params: Optional[Dict[str, jnp.ndarray]] = None,
+    tex_res: int = 1024,
+    gen_texture: bool = False,
+    bake_window: int = 16,
+    bake_bands: int = 8,
+) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    inv_g = np.linalg.inv(statics.trans_g)
+    verts = np.asarray(
+        exported_vertices(
+            jnp.asarray(params["means3D"]),
+            jnp.asarray(params["log_scales"]),
+            jnp.asarray(params["unnorm_rotations"]),
+            jnp.asarray(statics.tri_faces),
+            jnp.asarray(inv_g.astype(np.float32)),
+            jnp.asarray(frame != 1),
+        )
+    )
+    write_obj_with_uv(
+        os.path.join(out_dir, "face.obj"),
+        verts,
+        statics.faces,
+        statics.uvs,
+        statics.uv_faces,
+    )
+
+    if gen_texture and dense_params is not None and statics.dense is not None:
+        write_texture(
+            os.path.join(out_dir, "face.png"),
+            dense_params,
+            statics,
+            tex_res,
+            bake_window,
+            bake_bands,
+        )
+
+
+def write_texture(
+    path: str,
+    dense_params: Dict[str, jnp.ndarray],
+    statics: SceneStatics,
+    res: int,
+    bake_window: int = 16,
+    bake_bands: int = 8,
+) -> None:
+    """Bake dense Gaussian colors into the UV canvas and save a PNG.
+
+    Replaces the Cython scanline bake (reference helpers.py:953-960). The
+    dense topology indexes colors in UV-coordinate space already (our
+    densifier allocates one UV per new point and seam duplicates carry
+    their own colors), so the reference's seam color re-indexing
+    (duplicate_texture_vertex_color_2) reduces to using the per-UV color
+    array directly: base UVs take their vertex color via the uv->vertex
+    correspondence of the dense faces.
+    """
+    topo = statics.dense.topo
+    colors = np.clip(np.asarray(dense_params["dense_rgb_colors"]), 0.0, 1.0)
+    # map vertex colors into UV-space color slots via face correspondences
+    uv_colors = np.zeros((topo.dense_uvs.shape[0], 3), np.float32)
+    vfaces = statics.dense.tri_faces
+    ufaces = statics.dense.tri_uv_faces
+    uv_colors[ufaces.reshape(-1)] = colors[vfaces.reshape(-1)]
+    uv_px = process_uv(topo.dense_uvs.copy(), res, res)
+    img = bake_texture(
+        uv_px,
+        statics.dense.tri_uv_faces,
+        uv_colors,
+        res,
+        res,
+        window=bake_window,
+        bands=bake_bands,
+    )
+    from PIL import Image
+
+    Image.fromarray((img * 255).astype(np.uint8)).save(path)

@@ -1,0 +1,366 @@
+"""Scene assembly: startup mesh -> Gaussian params, priors, constraints.
+
+Port of the reference's initialization stack: ``initialize_params``
+(train.py:115-269), ``initialize_losses`` (train.py:511-587), the frame-0
+attribute caching (train.py:441-451, 619-637), and the per-phase region
+freezes (train.py:676-700) expressed as ScatterConstraint lists consumed
+by the jitted step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from topo4d_tpu.config import Config
+from topo4d_tpu.core.quaternion import normal_to_quat_reference
+from topo4d_tpu.losses.flatten import (
+    DihedralQuadruples,
+    UmbrellaFlatten,
+    build_dihedral_quadruples,
+    build_umbrella_flatten,
+)
+from topo4d_tpu.opt.constraints import ScatterConstraint, inverse_sigmoid
+from topo4d_tpu.topology.adjacency import OneRing, build_one_ring, triangulate_faces
+from topo4d_tpu.topology.densify_uv import DenseMesh, build_dense_topology
+from topo4d_tpu.topology.knn import mean_knn_sq_dist
+from topo4d_tpu.topology.normals import vertex_normals_np
+from topo4d_tpu.topology.obj_io import MeshObj, vertex_uv_multiplicity
+from topo4d_tpu.topology.regions import (
+    FacialRegions,
+    build_region_weight_matrix,
+)
+
+
+@dataclasses.dataclass
+class SceneStatics:
+    """Host-side precomputed constants for a sequence run."""
+
+    ring: OneRing
+    quadruples: Dict[str, DihedralQuadruples]
+    umbrellas: Dict[str, UmbrellaFlatten]
+    iso_w: np.ndarray
+    rig_w: np.ndarray
+    rot_w: np.ndarray
+    init_scale: np.ndarray  # (N,) sqrt(mean knn sq dist)
+    regions: FacialRegions
+    faces: List[List[int]]  # original mixed-arity faces
+    tri_faces: np.ndarray  # triangulated (for normals)
+    uvs: np.ndarray
+    uv_faces: List[List[int]]
+    trans_g: np.ndarray  # (4, 4) global transform (applied inverse at init)
+    dense: Optional[DenseMesh] = None
+
+
+def build_scene(
+    mesh: MeshObj,
+    regions: FacialRegions,
+    cfg: Config,
+    vertex_colors: Optional[np.ndarray] = None,  # (V, 3) in [0, 1]
+    trans_g: Optional[np.ndarray] = None,
+    num_views: Optional[int] = None,
+):
+    """-> (params dict, SceneStatics). Mirrors train.py:115-269.
+
+    ``vertex_colors`` defaults to mid-gray when no template texture is
+    available (the reference samples them from the startup texture).
+    """
+    trans_g = np.eye(4) if trans_g is None else np.asarray(trans_g)
+    num_views = num_views or cfg.data.max_cams
+
+    # inverse global transform on the startup vertices (train.py:125-127)
+    inv_g = np.linalg.inv(trans_g)
+    vertices = mesh.vertices @ inv_g[:3, :3].T + inv_g[:3, 3]
+    n = vertices.shape[0]
+
+    if vertex_colors is None:
+        vertex_colors = np.full((n, 3), 0.5, np.float32)
+
+    mean_sq = mean_knn_sq_dist(vertices, 1)  # (N,) k=1 (train.py:132-133)
+    tri_faces = np.asarray(triangulate_faces(mesh.faces), np.int32)
+    normals = vertex_normals_np(vertices, tri_faces)
+    q_init = np.asarray(normal_to_quat_reference(jnp.asarray(normals)))
+
+    params = {
+        "means3D": vertices.astype(np.float32),
+        "rgb_colors": np.asarray(vertex_colors, np.float32),
+        "unnorm_rotations": q_init.astype(np.float32),
+        # logit 1000 ~ opacity 1.0 exactly as the reference (train.py:142)
+        "logit_opacities": np.full((n, 1), 1000.0, np.float32),
+        "log_scales": np.tile(
+            np.log(np.sqrt(mean_sq) / 2.0)[:, None], (1, 3)
+        ).astype(np.float32),
+        "cam_m": np.zeros((num_views, 3), np.float32),
+        "cam_c": np.zeros((num_views, 3), np.float32),
+    }
+
+    ring = build_one_ring(
+        vertices, mesh.faces, boundary_mask=regions.masks["eye_del_masks"]
+    )
+
+    # flatten loss precomputes (train.py:513-533)
+    quadruples = {
+        "flat": build_dihedral_quadruples(regions.flat_faces["flat_faces"]),
+        "flat_lip_bottom": build_dihedral_quadruples(
+            regions.flat_faces["lip_bottom_flat_faces"]
+        ),
+        "flat_lip": build_dihedral_quadruples(
+            regions.flat_faces["lip_flat_faces"]
+        ),
+        "flat_mouth": build_dihedral_quadruples(
+            regions.flat_faces["mouth_flat_faces"]
+        ),
+        "flat_lid_top": build_dihedral_quadruples(
+            regions.flat_faces["lid_top_flat_faces"]
+        ),
+        "flat_lid_bottom": build_dihedral_quadruples(
+            regions.flat_faces["lid_bottom_flat_faces"]
+        ),
+    }
+    umbrellas = {
+        "flat_eye": build_umbrella_flatten(
+            ring.ragged, n,
+            region=np.concatenate([
+                regions.region_masks["EyeLidOuterTop"],
+                regions.region_masks["EyeLidTop"],
+                regions.region_masks["EyeLidBottom"],
+            ]),
+        ),
+        "flat_lip_socket": build_umbrella_flatten(
+            ring.ragged, n, region=regions.masks["lip_socket_flat_masks"]
+        ),
+        "flat_face_bottom": build_umbrella_flatten(
+            ring.ragged, n,
+            region=np.concatenate(
+                [
+                    regions.region_masks[name]
+                    for name in (
+                        "LipOuterTop", "LipOuterBottom", "Chin", "NeckFront",
+                        "LipBottom", "LipTop", "LipInnerBottom", "LipInnerTop",
+                        "EyeLidOuterBottom", "EyeLidBottom",
+                        "MouthSocket", "EyeSocket",
+                    )
+                ]
+                + [regions.masks["face_flat_masks"]]
+            ),
+            ex_mask=regions.masks["lip_flat_edge_masks"].tolist(),
+        ),
+    }
+
+    w = cfg.weights
+    iso_w = build_region_weight_matrix(
+        ring.weight, regions, cfg.iso_region_multipliers, w.iso
+    )
+    rig_w = build_region_weight_matrix(
+        ring.weight, regions, cfg.rigid_region_multipliers, w.rigid
+    )
+    rot_w = build_region_weight_matrix(
+        ring.weight, regions, cfg.rot_region_multipliers, w.rot
+    )
+
+    statics = SceneStatics(
+        ring=ring,
+        quadruples=quadruples,
+        umbrellas=umbrellas,
+        iso_w=iso_w,
+        rig_w=rig_w,
+        rot_w=rot_w,
+        init_scale=np.sqrt(mean_sq).astype(np.float32),
+        regions=regions,
+        faces=mesh.faces,
+        tri_faces=tri_faces,
+        uvs=mesh.uvs,
+        uv_faces=mesh.uv_faces,
+        trans_g=trans_g,
+    )
+
+    # dense (texture) topology (train.py:209-267)
+    if cfg.texture.gen_tex:
+        mult = [
+            len(m)
+            for m in vertex_uv_multiplicity(
+                n, mesh.faces, mesh.uv_faces, mesh.uvs
+            )
+        ]
+        statics.dense = build_dense_topology(
+            vertices.astype(np.float32),
+            mesh.uvs,
+            mesh.faces,
+            mesh.uv_faces,
+            regions.masks["face_masks"],
+            cfg.texture.density,
+            mult,
+        )
+
+    # pre-loop writes (train.py:622-623): mouth region black, eye region white
+    params["rgb_colors"][regions.masks["dynamic_mouth_masks"]] = 0.0
+    params["rgb_colors"][regions.masks["dynamic_eye_masks"]] = 1.0
+
+    return params, statics
+
+
+def init_dense_params(
+    params: Dict[str, np.ndarray],
+    statics: SceneStatics,
+    num_views: int,
+) -> Dict[str, np.ndarray]:
+    """Dense Gaussian attributes (train.py:244-263)."""
+    assert statics.dense is not None
+    topo = statics.dense.topo
+    dense_v = topo.dense_vertices
+    nd = dense_v.shape[0]
+    mean_sq = mean_knn_sq_dist(dense_v, 4)
+
+    regions = statics.regions
+    aux = params["rgb_colors"].copy()
+    aux[regions.masks["static_masks"]] = 0.0
+    aux[regions.masks["dynamic_masks"]] = 0.0
+    aux[regions.masks["mouth_inner_masks"]] = 0.0
+    from topo4d_tpu.topology.interpolate import interpolate_dense_attribute
+
+    colors = np.asarray(
+        interpolate_dense_attribute(
+            jnp.asarray(aux),
+            jnp.asarray(topo.quad_faces),
+            jnp.asarray(topo.father_face),
+            jnp.asarray(topo.weights),
+        )
+    )
+    return {
+        "dense_rgb_colors": colors.astype(np.float32),
+        "dense_logit_opacities": np.full(
+            (nd, 1), inverse_sigmoid(0.9999), np.float32
+        ),
+        "dense_log_scales": np.tile(
+            np.log(np.sqrt(mean_sq))[:, None], (1, 3)
+        ).astype(np.float32),
+        "dense_unnorm_rotations": np.tile(
+            np.array([1.0, 0, 0, 0], np.float32), (nd, 1)
+        ),
+    }
+
+
+# --------------------------------------------------------------------------
+# Per-phase region constraints (train.py:619-700)
+# --------------------------------------------------------------------------
+
+
+def _const(param, idx, value, like):
+    idx = np.asarray(idx, np.int32)
+    val = jnp.full((idx.shape[0],) + like.shape[1:], value, jnp.float32)
+    return ScatterConstraint(param=param, idx=idx, value=val)
+
+
+def build_constraints(
+    phase: str,
+    params0: Dict[str, jnp.ndarray],  # frame-0 initial params
+    regions: FacialRegions,
+    first_frame_attrs: Optional[Dict[str, jnp.ndarray]] = None,
+) -> List[ScatterConstraint]:
+    """Post-step scatter writes for ``phase`` in
+    {"init_early", "init", "track"}.
+
+    init_early covers the first 70% of frame-0 iterations where the eye
+    socket is additionally frozen (train.py:682-686).
+    """
+    m = regions.masks
+    rm = regions.region_masks
+    p0 = params0
+    cons: List[ScatterConstraint] = [
+        # always-on freezes (train.py:676-681)
+        ScatterConstraint(
+            param="means3D",
+            idx=np.asarray(m["static_masks"], np.int32),
+            value=jnp.asarray(p0["means3D"])[jnp.asarray(m["static_masks"])],
+        ),
+        _const("logit_opacities", m["eye_inner_masks"],
+               inverse_sigmoid(1e-6), p0["logit_opacities"]),
+        _const("rgb_colors", m["dynamic_mouth_masks"], 0.0, p0["rgb_colors"]),
+        _const("logit_opacities", m["dynamic_mouth_masks"],
+               inverse_sigmoid(0.99999), p0["logit_opacities"]),
+        _const("log_scales", m["dynamic_mouth_masks"],
+               float(np.log(0.01)), p0["log_scales"]),
+        _const("log_scales", m["mouth_inner_masks"],
+               float(np.log(0.002)), p0["log_scales"]),
+    ]
+    if phase == "init_early":
+        cons += [
+            _const("log_scales", m["dynamic_eye_masks"],
+                   float(np.log(0.0025)), p0["log_scales"]),
+            _const("logit_opacities", m["dynamic_eye_masks"],
+                   inverse_sigmoid(0.99999), p0["logit_opacities"]),
+        ]
+    if phase in ("init_early", "init"):
+        cons += [
+            ScatterConstraint(
+                param="rgb_colors",
+                idx=np.asarray(m["face_masks"], np.int32),
+                value=jnp.asarray(p0["rgb_colors"])[jnp.asarray(m["face_masks"])],
+            ),
+            _const("rgb_colors", m["mouth_inner_masks"], 0.0, p0["rgb_colors"]),
+        ]
+    if phase == "track":
+        assert first_frame_attrs is not None
+        ffa = first_frame_attrs
+        cons += [
+            ScatterConstraint(
+                param="rgb_colors",
+                idx=np.asarray(m["dynamic_eye_masks"], np.int32),
+                value=ffa["dynamic_eye_colors"],
+            ),
+            _const("rgb_colors", m["eye_del_masks"], 0.0, p0["rgb_colors"]),
+            ScatterConstraint(
+                param="rgb_colors",
+                idx=np.asarray(m["eye_around_masks"], np.int32),
+                value=ffa["eye_around_colors"],
+            ),
+            ScatterConstraint(
+                param="rgb_colors",
+                idx=np.asarray(rm["EyeLidBottom"], np.int32),
+                value=ffa["eye_bottom_colors"],
+            ),
+            ScatterConstraint(
+                param="rgb_colors",
+                idx=np.asarray(m["mouth_around_masks"], np.int32),
+                value=ffa["mouth_around_colors"],
+            ),
+            ScatterConstraint(
+                param="rgb_colors",
+                idx=np.asarray(m["face_bottom_masks"], np.int32),
+                value=ffa["face_bottom_colors"],
+            ),
+            _const("rgb_colors", m["mouth_inner_masks"], 0.0, p0["rgb_colors"]),
+        ]
+    return cons
+
+
+def cache_first_frame_attrs(
+    params: Dict[str, jnp.ndarray], regions: FacialRegions
+) -> Dict[str, jnp.ndarray]:
+    """Frame-0 attribute snapshot (reference train.py:441-451)."""
+    m = regions.masks
+    rm = regions.region_masks
+    rgb = jnp.asarray(params["rgb_colors"])
+    return {
+        "dynamic_eye_colors": rgb[jnp.asarray(m["dynamic_eye_masks"])],
+        "eye_around_colors": rgb[jnp.asarray(m["eye_around_masks"])],
+        "eye_bottom_colors": rgb[jnp.asarray(rm["EyeLidBottom"])],
+        "mouth_around_colors": rgb[jnp.asarray(m["mouth_around_masks"])],
+        "face_bottom_colors": rgb[jnp.asarray(m["face_bottom_masks"])],
+    }
+
+
+def build_dense_pre_constraints(
+    params0_dense: Dict[str, jnp.ndarray], regions: FacialRegions
+) -> List[ScatterConstraint]:
+    """Texture-phase pre-step color zeroing (train.py:731-734)."""
+    m = regions.masks
+    like = params0_dense["dense_rgb_colors"]
+    return [
+        _const("dense_rgb_colors", m["static_masks"], 0.0, like),
+        _const("dense_rgb_colors", m["dynamic_masks"], 0.0, like),
+        _const("dense_rgb_colors", m["mouth_inner_masks"], 0.0, like),
+    ]

@@ -1,0 +1,341 @@
+"""Sequence trainer: the frame loop (reference train.py:590-756).
+
+Per frame: warm-started geometry optimization (random view per step or all
+views batched), optional dense texture optimization, checkpointing, mesh +
+texture export. All hot work happens in the two jitted steps; the Python
+loop only schedules views and phases.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from topo4d_tpu.config import Config
+from topo4d_tpu.core.camera import Camera
+from topo4d_tpu.core.quaternion import quat_normalize
+from topo4d_tpu.losses.flatten import dihedral_cos
+from topo4d_tpu.losses.temporal import TemporalPriors, make_temporal_priors
+from topo4d_tpu.opt.adam import adam_init, reset_moments
+from topo4d_tpu.opt.step import GeometryPriors, TrainState, make_geometry_step
+from topo4d_tpu.parallel.batched import make_batched_geometry_step
+from topo4d_tpu.pipeline import checkpoint as ckpt
+from topo4d_tpu.pipeline.data import view_order
+from topo4d_tpu.pipeline.masks import dim_inner_mouth
+from topo4d_tpu.pipeline.export import save_mesh
+from topo4d_tpu.pipeline.scene import (
+    SceneStatics,
+    build_constraints,
+    build_dense_pre_constraints,
+    cache_first_frame_attrs,
+    init_dense_params,
+)
+from topo4d_tpu.texture.dense import TextureState, make_texture_step
+from topo4d_tpu.topology.interpolate import interpolate_dense_attribute
+
+
+def make_render_fn(cfg: Config):
+    bg = jnp.asarray(cfg.raster.bg, jnp.float32)
+    backend = cfg.raster.backend
+    if backend == "pallas":
+        from topo4d_tpu.rasterizer.pallas import render_gaussians_pallas
+
+        return lambda rv, cam: render_gaussians_pallas(
+            rv, cam, bg=bg, max_span=cfg.raster.max_span, chunk=cfg.raster.chunk
+        )
+    if backend == "tiled":
+        from topo4d_tpu.rasterizer.tiled import render_gaussians_tiled
+
+        return lambda rv, cam: render_gaussians_tiled(
+            rv, cam, bg=bg, max_span=cfg.raster.max_span,
+            capacity=cfg.raster.capacity,
+        )
+    if backend == "oracle":
+        from topo4d_tpu.rasterizer.reference import render_gaussians
+
+        return lambda rv, cam: render_gaussians(rv, cam, bg=bg)
+    raise ValueError(f"unknown rasterizer backend {backend!r}")
+
+
+class Trainer:
+    """Orchestrates a full sequence fit."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        source,  # DiskSequence | SyntheticSequence
+        params_np: Dict[str, np.ndarray],
+        statics: SceneStatics,
+    ):
+        self.cfg = cfg
+        self.source = source
+        self.statics = statics
+        self.render_fn = make_render_fn(cfg)
+        self.step = make_geometry_step(
+            statics.quadruples, statics.umbrellas, self.render_fn
+        )
+        self.batched_step = make_batched_geometry_step(
+            statics.quadruples, statics.umbrellas, self.render_fn
+        )
+
+        params = {k: jnp.asarray(v) for k, v in params_np.items()}
+        self.params0 = {k: jnp.asarray(v) for k, v in params.items()}
+        n = params["means3D"].shape[0]
+        self.state = TrainState(
+            params=params, opt=adam_init(params), max_2d_radius=jnp.zeros(n)
+        )
+        rot_n = quat_normalize(params["unnorm_rotations"])
+        cos0 = {
+            k: dihedral_cos(params["means3D"], statics.quadruples[k])
+            for k in ("flat_lid_top", "flat_lid_bottom", "flat_lip", "flat_mouth")
+            if k in statics.quadruples
+        }
+        self.priors = GeometryPriors(
+            neighbor_indices=jnp.asarray(statics.ring.indices),
+            neighbor_dist=jnp.asarray(statics.ring.dist),
+            iso_w=jnp.asarray(statics.iso_w),
+            rig_w=jnp.asarray(statics.rig_w),
+            rot_w=jnp.asarray(statics.rot_w),
+            init_scale=jnp.asarray(statics.init_scale),
+            temporal=make_temporal_priors(
+                params["means3D"], rot_n, jnp.asarray(statics.ring.indices)
+            ),
+            cos_init=cos0,
+        )
+        self.first_frame_attrs: Optional[Dict] = None
+        self.output_params: List[Dict[str, np.ndarray]] = []
+        self.texture_state: Optional[TextureState] = None
+        self.dense_means3d = None
+        self.dense_anchor = None
+        self.texture_step = None
+        self.metrics_log: List[Dict] = []
+        self._out_dir = os.path.join(
+            cfg.data.output_dir, cfg.data.exp, cfg.data.seq
+        )
+
+    # ------------------------------------------------------------------
+    def weights_for(self, phase: str) -> Dict[str, jnp.ndarray]:
+        w = self.cfg.weights.as_dict()
+        return {k: jnp.asarray(v, jnp.float32) for k, v in w.items()}
+
+    def lrs_for(self, phase: str) -> Dict[str, jnp.ndarray]:
+        table = getattr(self.cfg.lrs, phase)
+        return {k: jnp.asarray(v, jnp.float32) for k, v in table.items()}
+
+    # ------------------------------------------------------------------
+    def fit_frame_geometry(self, t: int, frame_data) -> Dict[str, float]:
+        cfg = self.cfg
+        sched = cfg.schedule
+        is_init = t == 0
+        num_iters = sched.init_opt_num if is_init else sched.opt_num
+        images = jnp.asarray(frame_data.images)
+        cams = self.source.cameras
+        step_phase = "init" if is_init else "track"
+
+        if not is_init:
+            # warm start (train.py:420-438)
+            rot_n = quat_normalize(self.state.params["unnorm_rotations"])
+            self.priors = self.priors._replace(
+                temporal=make_temporal_priors(
+                    self.state.params["means3D"],
+                    rot_n,
+                    jnp.asarray(self.statics.ring.indices),
+                )
+            )
+            self.state = self.state._replace(
+                opt=reset_moments(
+                    self.state.opt, ["means3D", "unnorm_rotations"]
+                )
+            )
+
+        # optional inner-mouth dimming of tracking GT (train.py:320-327)
+        if (
+            not is_init
+            and cfg.data.use_mask
+            and frame_data.masks is not None
+        ):
+            masks = jnp.asarray(frame_data.masks)
+            images = jax.vmap(
+                lambda im, mk: dim_inner_mouth(im, mk, cfg.data.cmap_index)
+            )(images, masks)
+
+        order = view_order(images.shape[0], num_iters, seed=t)
+        metrics = {}
+        early_cut = int(num_iters * sched.eye_freeze_frac)
+        batched = sched.views_per_step == 0
+
+        for i in range(1 if batched else num_iters):
+            if is_init:
+                con_phase = "init_early" if i < early_cut else "init"
+            else:
+                con_phase = "track"
+            constraints = self._constraints(con_phase)
+            if is_init:
+                lr = self.lrs_for("init")
+            elif i >= num_iters - sched.polish_iters:
+                lr = self.lrs_for("polish")
+            else:
+                lr = self.lrs_for("track")
+            weights = self.weights_for(step_phase)
+            if batched:
+                self.state, self.priors, m = self.batched_step(
+                    self.state, images, cams, self.priors, constraints,
+                    lr, weights, step_phase,
+                )
+            else:
+                vid = jnp.asarray(order[i], jnp.int32)
+                self.state, self.priors, m = self.step(
+                    self.state, images[order[i]], cams, vid, self.priors,
+                    constraints, lr, weights, step_phase,
+                )
+            if i % sched.log_freq == 0 or i == num_iters - 1:
+                metrics = {k: float(v) for k, v in m.items()}
+                metrics["frame"] = t
+                metrics["iter"] = i
+                self.metrics_log.append(dict(metrics))
+        return metrics
+
+    def _constraints(self, phase: str):
+        return build_constraints(
+            phase, self.params0, self.statics.regions, self.first_frame_attrs
+        )
+
+    # ------------------------------------------------------------------
+    def fit_frame_texture(self, t: int, frame_data) -> Dict[str, float]:
+        cfg = self.cfg
+        if self.texture_state is None:
+            dense_np = init_dense_params(
+                {k: np.asarray(v) for k, v in self.state.params.items()},
+                self.statics,
+                self.source.num_views,
+            )
+            dense = {k: jnp.asarray(v) for k, v in dense_np.items()}
+            self.texture_state = TextureState(params=dense, opt=adam_init(dense))
+            self.dense_anchor = dense["dense_rgb_colors"]
+            self.texture_step = make_texture_step(self.render_fn)
+            self._dense_pre = build_dense_pre_constraints(
+                dense, self.statics.regions
+            )
+        else:
+            # update_dense_states (train.py:498-508)
+            self.dense_anchor = self.texture_state.params["dense_rgb_colors"]
+
+        topo = self.statics.dense.topo
+        self.dense_means3d = interpolate_dense_attribute(
+            self.state.params["means3D"],
+            jnp.asarray(topo.quad_faces),
+            jnp.asarray(topo.father_face),
+            jnp.asarray(topo.weights),
+        )
+        images = jnp.asarray(frame_data.images)
+        cams = self.source.cameras_full
+        order = view_order(
+            images.shape[0], cfg.schedule.dense_opt_num, seed=10_000 + t
+        )
+        lr = {
+            k: jnp.asarray(v, jnp.float32) for k, v in self.cfg.lrs.dense.items()
+        }
+        weights = {
+            k: jnp.asarray(v, jnp.float32)
+            for k, v in self.cfg.dense_weights.as_dict().items()
+        }
+        metrics = {}
+        for i in range(cfg.schedule.dense_opt_num):
+            vid = jnp.asarray(order[i], jnp.int32)
+            self.texture_state, m = self.texture_step(
+                self.texture_state, self.dense_means3d, images[order[i]],
+                cams, vid, self.dense_anchor, self._dense_pre, lr, weights,
+            )
+            if i % cfg.schedule.dense_log_freq == 0:
+                metrics = {("tex_" + k): float(v) for k, v in m.items()}
+                metrics["frame"] = t
+                self.metrics_log.append(dict(metrics))
+        return metrics
+
+    # ------------------------------------------------------------------
+    def run(self, resume: bool = True) -> None:
+        cfg = self.cfg
+        os.makedirs(self._out_dir, exist_ok=True)
+        start_frame = 0
+        if resume:
+            payload = ckpt.load_resume(self._out_dir)
+            if payload is not None:
+                start_frame = payload["frame"]
+                self.state = jax.tree_util.tree_map(
+                    jnp.asarray, payload["state"]
+                )
+                self.priors = jax.tree_util.tree_map(
+                    jnp.asarray, payload["priors"]
+                )
+                self.first_frame_attrs = payload["first_frame_attrs"]
+                self.output_params = payload["output_params"]
+                if payload.get("texture_state") is not None:
+                    self.texture_state = jax.tree_util.tree_map(
+                        jnp.asarray, payload["texture_state"]
+                    )
+
+        for t in range(start_frame, cfg.schedule.frame_num):
+            t_start = time.time()
+            frame_data = self.source.frame(t + 1)
+            if frame_data is None:
+                break
+            geo = self.fit_frame_geometry(t, frame_data)
+
+            if cfg.texture.gen_tex and self.statics.dense is not None:
+                tex_data = self.source.frame(t + 1, full_res=True)
+                if tex_data is not None:
+                    self.fit_frame_texture(t, tex_data)
+
+            self.output_params.append(
+                ckpt.params_snapshot(self.state.params, t == 0)
+            )
+            if t == 0:
+                self.first_frame_attrs = cache_first_frame_attrs(
+                    self.state.params, self.statics.regions
+                )
+
+            if t % cfg.schedule.ckp_freq == 0 and t != 0:
+                ckpt.save_params(self.output_params, self._out_dir)
+                ckpt.write_loss_json(
+                    self._out_dir,
+                    {k: True for k in self.statics.quadruples},
+                    self.cfg.weights.as_dict(),
+                )
+            ckpt.save_resume(
+                self._out_dir, t + 1, self.state, self.priors,
+                self.first_frame_attrs, self.output_params,
+                self.texture_state,
+            )
+
+            save_mesh(
+                os.path.join(self._out_dir, "%06d" % (t + 1)),
+                self.state.params,
+                self.statics,
+                t + 1,
+                dense_params=(
+                    self.texture_state.params if self.texture_state else None
+                ),
+                tex_res=cfg.texture.tex_res,
+                gen_texture=cfg.texture.gen_tex,
+                bake_window=cfg.texture.bake_window,
+                bake_bands=cfg.texture.bake_bands,
+            )
+            geo["frame_seconds"] = time.time() - t_start
+            self._write_metrics()
+
+        # final params.npz regardless of ckp_freq (the reference only saves
+        # every 5 frames, so short runs end with no params at all)
+        if self.output_params:
+            ckpt.save_params(self.output_params, self._out_dir)
+
+    def _write_metrics(self):
+        with open(os.path.join(self._out_dir, "metrics.jsonl"), "w") as fh:
+            for row in self.metrics_log:
+                fh.write(json.dumps(row) + "\n")

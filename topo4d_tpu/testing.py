@@ -110,6 +110,66 @@ def make_grid_mesh(
     return verts, faces
 
 
+def make_synthetic_regions(num_vertices: int, faces, seed: int = 0):
+    """A plausible FacialRegions for a synthetic mesh.
+
+    Partitions vertices into the 26 named regions plus the derived masks
+    and flat-face subsets of the reference's facial_regions.pkl schema
+    (SURVEY §2), sized so every pipeline constraint path is exercised.
+    """
+    from topo4d_tpu.topology.adjacency import triangulate_faces
+    from topo4d_tpu.topology.regions import FACE_REGION_NAMES, FacialRegions
+
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(num_vertices)
+    chunks = np.array_split(perm, len(FACE_REGION_NAMES))
+    region_masks = {
+        name: np.sort(chunk).astype(np.int32)
+        for name, chunk in zip(FACE_REGION_NAMES, chunks)
+    }
+
+    def pick(frac, s):
+        k = max(1, int(num_vertices * frac))
+        r = np.random.default_rng(s)
+        return np.sort(r.choice(num_vertices, k, replace=False)).astype(np.int32)
+
+    tris = np.asarray(triangulate_faces(faces), np.int32)
+
+    def tri_subset(frac, s):
+        r = np.random.default_rng(s)
+        k = max(1, int(tris.shape[0] * frac))
+        return tris[np.sort(r.choice(tris.shape[0], k, replace=False))]
+
+    masks = {
+        "face_flat_masks": pick(0.1, 1),
+        "lip_socket_flat_masks": pick(0.05, 2),
+        "eye_lid_up_masks": pick(0.04, 3),
+        "lip_flat_edge_masks": pick(0.01, 4),
+        "face_masks": pick(0.5, 5),
+        "face_bottom_masks": pick(0.1, 6),
+        "dynamic_masks": pick(0.15, 7),
+        "dynamic_eye_masks": pick(0.05, 8),
+        "dynamic_mouth_masks": pick(0.1, 9),
+        "eye_around_masks": pick(0.1, 10),
+        "eye_inner_masks": pick(0.03, 11),
+        "eye_del_masks": pick(0.04, 12),
+        "mouth_around_masks": pick(0.06, 13),
+        "mouth_inner_masks": pick(0.03, 14),
+        "static_masks": pick(0.25, 15),
+    }
+    flat_faces = {
+        "flat_faces": tri_subset(0.8, 20),
+        "lip_bottom_flat_faces": tri_subset(0.2, 21),
+        "lip_flat_faces": tri_subset(0.25, 22),
+        "mouth_flat_faces": tri_subset(0.1, 23),
+        "lid_top_flat_faces": tri_subset(0.08, 24),
+        "lid_bottom_flat_faces": tri_subset(0.1, 25),
+    }
+    return FacialRegions(
+        region_masks=region_masks, masks=masks, flat_faces=flat_faces
+    )
+
+
 def make_head_fixture(
     rows: int = 92,
     cols: int = 90,
