@@ -113,3 +113,49 @@ def test_bake_8k_bands_shape():
     verts, tris, colors = random_mesh(64, 64, n_tris=10)
     out = bake_texture(verts, tris, colors, 512, 256, window=8, bands=5)
     assert out.shape == (512, 256, 3)
+
+
+# ------------------------------------------------------------ native C++
+
+
+def test_native_scanline_matches_numpy_oracle():
+    from topo4d_tpu.native import render_colors as native_render
+
+    h = w = 40
+    verts, tris, colors = random_mesh(h, w, n_tris=30, seed=3)
+    expected = numpy_render_colors(verts, tris, colors, h, w)
+    got = native_render(verts, tris, colors, h, w)
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_native_rasterize_buffers():
+    from topo4d_tpu.native import rasterize_triangles
+
+    verts = np.array([[2, 2, 0.5], [20, 2, 0.5], [2, 20, 0.5]], np.float32)
+    tris = np.array([[0, 1, 2]], np.int32)
+    depth, tri, bary = rasterize_triangles(verts, tris, 24, 24)
+    assert tri[3, 3] == 0
+    assert tri[23, 23] == -1
+    np.testing.assert_allclose(depth[3, 3], 0.5, atol=1e-5)
+    np.testing.assert_allclose(bary[3, 3].sum(), 1.0, atol=1e-5)
+
+
+def test_native_vertex_normals_flat():
+    from topo4d_tpu.native import vertex_normals
+
+    verts = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32
+    )
+    tris = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+    n = vertex_normals(verts, tris)
+    np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-6)
+
+
+def test_native_matches_jax_bake():
+    from topo4d_tpu.native import render_colors as native_render
+
+    h = w = 48
+    verts, tris, colors = random_mesh(h, w, n_tris=40, seed=5)
+    jax_img = bake_texture(verts, tris, colors, h, w, window=8, bands=3)
+    native_img = native_render(verts, tris, colors, h, w)
+    np.testing.assert_allclose(jax_img, native_img, rtol=2e-2, atol=2e-3)

@@ -43,6 +43,7 @@ def make_batched_geometry_step(
     quadruples: Dict[str, DihedralQuadruples],
     umbrellas: Dict[str, UmbrellaFlatten],
     render_fn: Callable,
+    sequential_views: bool = False,
 ) -> Callable:
     """Jitted all-views step. ``render_fn(rv, cam) -> RenderOutput``.
 
@@ -63,9 +64,15 @@ def make_batched_geometry_step(
             return photometric_loss(im, gt), jnp.mean(psnr(im, gt)), out.radii
 
         v = images.shape[0]
-        return jax.vmap(one_view, in_axes=(0, 0, 0, 0))(
-            images, cams, params["cam_m"][:v], params["cam_c"][:v]
-        )
+        args = (images, cams, params["cam_m"][:v], params["cam_c"][:v])
+        if sequential_views:
+            # the Pallas blend kernels use manual DMA + scalar prefetch,
+            # which have no vmap rule — scan views inside one jit instead
+            # (single-device; multi-device Pallas goes through shard_map)
+            return jax.lax.map(lambda a: one_view(*a), args)
+        # vmap keeps the view axis visible to XLA so jit sharding
+        # annotations partition it across the 'view' mesh axis
+        return jax.vmap(one_view)(*args)
 
     def loss_fn(params, images, cams, priors, weights, phase):
         rv = activate_params(params)

@@ -82,7 +82,8 @@ class Trainer:
             statics.quadruples, statics.umbrellas, self.render_fn
         )
         self.batched_step = make_batched_geometry_step(
-            statics.quadruples, statics.umbrellas, self.render_fn
+            statics.quadruples, statics.umbrellas, self.render_fn,
+            sequential_views=(cfg.raster.backend == "pallas"),
         )
 
         params = {k: jnp.asarray(v) for k, v in params_np.items()}
