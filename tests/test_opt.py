@@ -100,7 +100,7 @@ def test_single_frame_fit_improves_psnr():
         temporal=TemporalPriors(
             prev_inv_rot=jnp.zeros((n, 4)), prev_offset=jnp.zeros((n, 4, 3))
         ),
-        cos_init={},
+        cos_init=jnp.zeros(0),
     )
     state = TrainState(
         params=params, opt=adam_init(params), max_2d_radius=jnp.zeros(n)
@@ -167,7 +167,15 @@ def test_track_phase_with_all_losses_runs():
     temporal = make_temporal_priors(
         params["means3D"], rot_n, jnp.asarray(ring.indices)
     )
-    cos0 = dihedral_cos(params["means3D"], quads)
+    from topo4d_tpu.losses.flatten import build_fused_flatten
+    from topo4d_tpu.opt.step import HARD_FLATTEN_KEYS, SOFT_FLATTEN_KEYS
+
+    quadruples = {
+        "flat": quads, "flat_lip_bottom": quads, "flat_lip": quads,
+        "flat_mouth": quads, "flat_lid_top": quads, "flat_lid_bottom": quads,
+    }
+    fused = build_fused_flatten(quadruples, HARD_FLATTEN_KEYS, SOFT_FLATTEN_KEYS)
+    cos_fused = dihedral_cos(params["means3D"], fused.quads)[fused.num_hard:]
     priors = GeometryPriors(
         neighbor_indices=jnp.asarray(ring.indices),
         neighbor_dist=jnp.asarray(ring.dist),
@@ -176,12 +184,8 @@ def test_track_phase_with_all_losses_runs():
         rot_w=jnp.asarray(ring.weight),
         init_scale=jnp.full((n,), 0.02),
         temporal=temporal,
-        cos_init={k: cos0 for k in ("flat_lid_top", "flat_lid_bottom", "flat_lip", "flat_mouth")},
+        cos_init=cos_fused,
     )
-    quadruples = {
-        "flat": quads, "flat_lip_bottom": quads, "flat_lip": quads,
-        "flat_mouth": quads, "flat_lid_top": quads, "flat_lid_bottom": quads,
-    }
     umbrellas = {"flat_eye": umb, "flat_lip_socket": umb, "flat_face_bottom": umb}
     step = make_geometry_step(quadruples, umbrellas, render_gaussians)
 

@@ -34,7 +34,7 @@ def small_setup(v=8, w=48, h=32):
         temporal=TemporalPriors(
             prev_inv_rot=jnp.zeros((n, 4)), prev_offset=jnp.zeros((n, 4, 3))
         ),
-        cos_init={},
+        cos_init=jnp.zeros(0),
     )
     state = TrainState(params=params, opt=adam_init(params), max_2d_radius=jnp.zeros(n))
     lr = {k: jnp.asarray(1e-3, jnp.float32) for k in params}

@@ -165,6 +165,155 @@ def soft_flatten_loss(
     return loss, jax.lax.stop_gradient(cos)
 
 
+class FusedFlatten(NamedTuple):
+    """All dihedral flatten sets concatenated for ONE fused evaluation.
+
+    Nine separate flatten losses cost ~3 ms/step on TPU (many small
+    gather/It kernels); fused into one segmented computation they cost a
+    fraction. Entries keep their set id so traced per-set weights apply
+    per entry; soft entries compare against a single concatenated
+    ``cos_init`` vector cached at frame 0.
+    """
+
+    quads: DihedralQuadruples  # concatenation of every set's quadruples
+    hard_sets: tuple  # set names, order = segment order
+    soft_sets: tuple
+    hard_segment: np.ndarray  # (Eh,) set index into hard_sets
+    soft_segment: np.ndarray  # (Es,) set index into soft_sets
+    num_hard: int  # entries 0..num_hard are hard, rest soft
+
+
+def build_fused_flatten(
+    quadruples: "dict[str, DihedralQuadruples]",
+    hard_sets: Sequence[str],
+    soft_sets: Sequence[str],
+) -> FusedFlatten:
+    hard_sets = tuple(k for k in hard_sets if k in quadruples)
+    soft_sets = tuple(k for k in soft_sets if k in quadruples)
+
+    def cat(names):
+        qs = [quadruples[k] for k in names]
+        seg = np.concatenate(
+            [np.full(q.v0.shape[0], i, np.int32) for i, q in enumerate(qs)]
+        ) if qs else np.zeros(0, np.int32)
+        fields = [
+            np.concatenate([getattr(q, f) for q in qs])
+            if qs else np.zeros(0, np.int32)
+            for f in ("v0", "v1", "v2", "v3")
+        ]
+        return DihedralQuadruples(*fields), seg
+
+    hq, hseg = cat(hard_sets)
+    sq, sseg = cat(soft_sets)
+    quads = DihedralQuadruples(
+        v0=np.concatenate([hq.v0, sq.v0]),
+        v1=np.concatenate([hq.v1, sq.v1]),
+        v2=np.concatenate([hq.v2, sq.v2]),
+        v3=np.concatenate([hq.v3, sq.v3]),
+    )
+    return FusedFlatten(
+        quads=quads,
+        hard_sets=hard_sets,
+        soft_sets=soft_sets,
+        hard_segment=hseg,
+        soft_segment=sseg,
+        num_hard=int(hq.v0.shape[0]),
+    )
+
+
+def fused_flatten_loss(
+    vertices: jnp.ndarray,
+    fused: FusedFlatten,
+    weights: "dict[str, jnp.ndarray]",
+    soft_cos_init: Optional[jnp.ndarray] = None,  # (Es,) or None (frame 0)
+    eps: float = 1e-6,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """-> (weighted total over all sets, current soft cosines (Es,)).
+
+    Frame 0 (``soft_cos_init=None``): soft sets use the (cos+1)^2 form and
+    the returned cosines are cached; frames > 0 use 1 - cos|theta - theta0|
+    — exactly the per-set losses of loss_util.py, just evaluated once.
+    """
+    cos = dihedral_cos(vertices, fused.quads, eps)
+    nh = fused.num_hard
+    hard_cos = jnp.where(cos[:nh] > 1.0, -1.0, cos[:nh])  # threshold 0 deg
+    hard_vals = (hard_cos + 1.0) ** 2
+    hard_w = (
+        jnp.stack([weights[k] for k in fused.hard_sets])[
+            jnp.asarray(fused.hard_segment)
+        ]
+        if fused.hard_sets
+        else jnp.zeros(0)
+    )
+
+    soft_cos = cos[nh:]
+    if soft_cos_init is None:
+        soft_vals = (soft_cos + 1.0) ** 2
+    else:
+        soft_vals = 1.0 - jnp.cos(
+            jnp.abs(
+                jnp.arccos(jnp.clip(soft_cos, -1.0, 1.0))
+                - jnp.arccos(jnp.clip(soft_cos_init, -1.0, 1.0))
+            )
+        )
+    soft_w = (
+        jnp.stack([weights[k] for k in fused.soft_sets])[
+            jnp.asarray(fused.soft_segment)
+        ]
+        if fused.soft_sets
+        else jnp.zeros(0)
+    )
+    total = jnp.sum(hard_vals * hard_w) + jnp.sum(soft_vals * soft_w)
+    return total, jax.lax.stop_gradient(soft_cos)
+
+
+class FusedUmbrella(NamedTuple):
+    """The umbrella (one-ring mean) flatten sets fused via per-vertex
+    coefficients: sum_k w_k * MSE_k == sum_v c_v * |ave_v - v|^2 with
+    c_v = sum_k w_k [v in region_k] / (3 |region_k|)."""
+
+    neighbor_indices: np.ndarray  # (N, K)
+    neighbor_mask: np.ndarray  # (N, K)
+    neighbor_num: np.ndarray  # (N,)
+    set_names: tuple
+    coeff: np.ndarray  # (S, N) per-set per-vertex 1/(3|R_k|) indicators
+
+
+def build_fused_umbrella(
+    umbrellas: "dict[str, UmbrellaFlatten]", set_names: Sequence[str]
+) -> Optional[FusedUmbrella]:
+    names = tuple(k for k in set_names if k in umbrellas)
+    if not names:
+        return None
+    first = umbrellas[names[0]]
+    n = first.neighbor_indices.shape[0]
+    coeff = np.zeros((len(names), n), np.float32)
+    for i, k in enumerate(names):
+        reg = umbrellas[k].region
+        coeff[i, reg] = 1.0 / (3.0 * reg.shape[0])
+    return FusedUmbrella(
+        neighbor_indices=first.neighbor_indices,
+        neighbor_mask=first.neighbor_mask,
+        neighbor_num=first.neighbor_num,
+        set_names=names,
+        coeff=coeff,
+    )
+
+
+def fused_umbrella_loss(
+    vertices: jnp.ndarray,
+    fused: FusedUmbrella,
+    weights: "dict[str, jnp.ndarray]",
+) -> jnp.ndarray:
+    nbr = vertices[jnp.asarray(fused.neighbor_indices)]
+    nbr = nbr * jnp.asarray(fused.neighbor_mask)[..., None]
+    ave = jnp.sum(nbr, axis=1) / jnp.asarray(fused.neighbor_num)[:, None]
+    sq = jnp.sum((ave - vertices) ** 2, axis=-1)  # (N,)
+    w = jnp.stack([weights[k] for k in fused.set_names])  # (S,)
+    c = jnp.einsum("s,sn->n", w, jnp.asarray(fused.coeff))
+    return jnp.sum(c * sq)
+
+
 class UmbrellaFlatten(NamedTuple):
     """Precomputed state for FlattenLoss_v2 (loss_util.py:223-251)."""
 

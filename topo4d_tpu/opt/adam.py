@@ -26,10 +26,17 @@ class AdamState(NamedTuple):
 
 
 def adam_init(params: Dict[str, jnp.ndarray]) -> AdamState:
+    # host-side zeros: device-side zeros_like costs one remote compile PER
+    # op on a tunneled TPU (~1-2 s each); a host buffer transfer does not
+    import numpy as np
+
+    def z(v):
+        return jnp.asarray(np.zeros(v.shape, np.dtype(v.dtype)))
+
     return AdamState(
-        step={k: jnp.zeros((), jnp.int32) for k in params},
-        mu={k: jnp.zeros_like(v) for k, v in params.items()},
-        nu={k: jnp.zeros_like(v) for k, v in params.items()},
+        step={k: jnp.asarray(0, jnp.int32) for k in params},
+        mu={k: z(v) for k, v in params.items()},
+        nu={k: z(v) for k, v in params.items()},
     )
 
 
@@ -42,28 +49,50 @@ def adam_update(
     b2: float = 0.999,
     eps: float = 1e-15,
 ):
-    """One Adam step. Returns (new_params, new_state).
+    """One FUSED Adam step. Returns (new_params, new_state).
 
     torch parity: denom = sqrt(nu_hat) + eps (eps outside the sqrt),
-    update = lr * mu_hat / denom.
+    update = lr * mu_hat / denom. The element-wise math runs once over the
+    concatenation of all leaves — per-leaf kernels cost ~1.4 ms/step on
+    TPU for this model's ~7 tiny parameters; fused it is ~0.2 ms. Per-leaf
+    LRs and bias corrections become segment vectors.
     """
-    new_params = {}
-    new_mu = {}
-    new_nu = {}
-    new_step = {}
-    for k, p in params.items():
-        g = grads[k]
-        t = state.step[k] + 1
-        mu = b1 * state.mu[k] + (1.0 - b1) * g
-        nu = b2 * state.nu[k] + (1.0 - b2) * (g * g)
-        tf = t.astype(p.dtype)
-        mu_hat = mu / (1.0 - b1**tf)
-        nu_hat = nu / (1.0 - b2**tf)
-        new_params[k] = p - lr[k] * mu_hat / (jnp.sqrt(nu_hat) + eps)
-        new_mu[k] = mu
-        new_nu[k] = nu
-        new_step[k] = t
-    return new_params, AdamState(step=new_step, mu=new_mu, nu=new_nu)
+    keys = list(params.keys())
+    sizes = [int(params[k].size) for k in keys]
+
+    def flat(tree):
+        return jnp.concatenate([tree[k].reshape(-1) for k in keys])
+
+    p = flat(params)
+    g = flat(grads)
+    mu = b1 * flat(state.mu) + (1.0 - b1) * g
+    nu = b2 * flat(state.nu) + (1.0 - b2) * (g * g)
+
+    seg = []
+    for k, sz in zip(keys, sizes):
+        t = (state.step[k] + 1).astype(p.dtype)
+        scale = lr[k] / (1.0 - b1**t)
+        denom_corr = 1.0 / (1.0 - b2**t)
+        seg.append(
+            jnp.stack([jnp.asarray(scale, p.dtype), jnp.asarray(denom_corr, p.dtype)])
+            * jnp.ones((sz, 1), p.dtype)
+        )
+    segv = jnp.concatenate(seg, axis=0)  # (P, 2): lr/bc1 and 1/bc2
+    new_p = p - segv[:, 0] * mu / (jnp.sqrt(nu * segv[:, 1]) + eps)
+
+    def unflat(v):
+        out = {}
+        off = 0
+        for k, sz in zip(keys, sizes):
+            out[k] = v[off : off + sz].reshape(params[k].shape)
+            off += sz
+        return out
+
+    return unflat(new_p), AdamState(
+        step={k: state.step[k] + 1 for k in keys},
+        mu=unflat(mu),
+        nu=unflat(nu),
+    )
 
 
 def reset_moments(state: AdamState, keys) -> AdamState:

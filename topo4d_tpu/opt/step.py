@@ -28,9 +28,10 @@ from topo4d_tpu.core.gaussian import GaussianRenderVars, activate_params
 from topo4d_tpu.losses.flatten import (
     DihedralQuadruples,
     UmbrellaFlatten,
-    flatten_loss,
-    soft_flatten_loss,
-    umbrella_flatten_loss,
+    build_fused_flatten,
+    build_fused_umbrella,
+    fused_flatten_loss,
+    fused_umbrella_loss,
 )
 from topo4d_tpu.losses.image import photometric_loss, psnr
 from topo4d_tpu.losses.temporal import TemporalPriors, rigid_rot_iso_losses
@@ -52,7 +53,7 @@ class GeometryPriors(NamedTuple):
     rot_w: jnp.ndarray  # (N, K)
     init_scale: jnp.ndarray  # (N,) sqrt(mean knn sq dist)
     temporal: TemporalPriors
-    cos_init: Dict[str, jnp.ndarray]  # soft-flatten initial cosines
+    cos_init: jnp.ndarray  # (Es,) fused soft-flatten initial cosines
 
 
 class TrainState(NamedTuple):
@@ -73,6 +74,11 @@ def make_geometry_step(
     ``is not None`` guards at train.py:349-357).
     """
 
+    fused_quads = build_fused_flatten(
+        quadruples, HARD_FLATTEN_KEYS, SOFT_FLATTEN_KEYS
+    )
+    fused_umb = build_fused_umbrella(umbrellas, UMBRELLA_KEYS)
+
     def loss_fn(
         params: Dict[str, jnp.ndarray],
         gt: jnp.ndarray,
@@ -91,7 +97,8 @@ def make_geometry_step(
         losses: Dict[str, jnp.ndarray] = {
             "im": photometric_loss(im, gt)
         }
-        new_cos: Dict[str, jnp.ndarray] = dict(priors.cos_init)
+        new_cos = priors.cos_init
+        pre_weighted = jnp.zeros(())
 
         if phase == "init":
             min_scale = jnp.min(rv.scales, axis=1)
@@ -100,11 +107,14 @@ def make_geometry_step(
             losses["scale_max"] = jnp.sum(
                 jax.nn.relu(max_scale - priors.init_scale * 1.5)
             )
-            for key in SOFT_FLATTEN_KEYS:
-                if key in quadruples:
-                    losses[key], new_cos[key] = soft_flatten_loss(
-                        rv.means3d, quadruples[key]
-                    )
+            # only the soft sets are active at frame 0 (train.py:364-368)
+            w0 = dict(weights)
+            for k in fused_quads.hard_sets:
+                w0[k] = jnp.zeros(())
+            flat_total, new_cos = fused_flatten_loss(
+                rv.means3d, fused_quads, w0, soft_cos_init=None
+            )
+            pre_weighted = pre_weighted + flat_total
         else:
             temporal = rigid_rot_iso_losses(
                 rv.means3d,
@@ -117,20 +127,20 @@ def make_geometry_step(
                 priors.iso_w,
             )
             losses.update(temporal)
-            for key in HARD_FLATTEN_KEYS:
-                if key in quadruples:
-                    losses[key] = flatten_loss(rv.means3d, quadruples[key])
-            for key in UMBRELLA_KEYS:
-                if key in umbrellas:
-                    losses[key] = umbrella_flatten_loss(rv.means3d, umbrellas[key])
-            for key in SOFT_FLATTEN_KEYS:
-                if key in quadruples:
-                    losses[key], _ = soft_flatten_loss(
-                        rv.means3d, quadruples[key], cos_init=priors.cos_init[key]
-                    )
+            flat_total, _ = fused_flatten_loss(
+                rv.means3d, fused_quads, weights,
+                soft_cos_init=priors.cos_init,
+            )
+            pre_weighted = pre_weighted + flat_total
+            if fused_umb is not None:
+                pre_weighted = pre_weighted + fused_umbrella_loss(
+                    rv.means3d, fused_umb, weights
+                )
 
-        total = sum(
-            weights[k] * v for k, v in losses.items() if k in weights
+        losses["flatten"] = pre_weighted  # already weight-scaled
+        total = (
+            sum(weights[k] * v for k, v in losses.items() if k in weights)
+            + pre_weighted
         )
         aux = (losses, new_cos, out.radii, im)
         return total, aux

@@ -22,9 +22,10 @@ from topo4d_tpu.core.gaussian import activate_params
 from topo4d_tpu.losses.flatten import (
     DihedralQuadruples,
     UmbrellaFlatten,
-    flatten_loss,
-    soft_flatten_loss,
-    umbrella_flatten_loss,
+    build_fused_flatten,
+    build_fused_umbrella,
+    fused_flatten_loss,
+    fused_umbrella_loss,
 )
 from topo4d_tpu.losses.image import photometric_loss, psnr
 from topo4d_tpu.losses.temporal import rigid_rot_iso_losses
@@ -74,11 +75,17 @@ def make_batched_geometry_step(
         # annotations partition it across the 'view' mesh axis
         return jax.vmap(one_view)(*args)
 
+    fused_quads = build_fused_flatten(
+        quadruples, HARD_FLATTEN_KEYS, SOFT_FLATTEN_KEYS
+    )
+    fused_umb = build_fused_umbrella(umbrellas, UMBRELLA_KEYS)
+
     def loss_fn(params, images, cams, priors, weights, phase):
         rv = activate_params(params)
         im_losses, psnrs, radii = per_view_losses(params, rv, images, cams)
         losses: Dict[str, jnp.ndarray] = {"im": jnp.mean(im_losses)}
-        new_cos = dict(priors.cos_init)
+        new_cos = priors.cos_init
+        pre_weighted = jnp.zeros(())
 
         if phase == "init":
             min_scale = jnp.min(rv.scales, axis=1)
@@ -87,11 +94,13 @@ def make_batched_geometry_step(
             losses["scale_max"] = jnp.sum(
                 jax.nn.relu(max_scale - priors.init_scale * 1.5)
             )
-            for key in SOFT_FLATTEN_KEYS:
-                if key in quadruples:
-                    losses[key], new_cos[key] = soft_flatten_loss(
-                        rv.means3d, quadruples[key]
-                    )
+            w0 = dict(weights)
+            for k in fused_quads.hard_sets:
+                w0[k] = jnp.zeros(())
+            flat_total, new_cos = fused_flatten_loss(
+                rv.means3d, fused_quads, w0, soft_cos_init=None
+            )
+            pre_weighted = pre_weighted + flat_total
         else:
             losses.update(
                 rigid_rot_iso_losses(
@@ -100,19 +109,21 @@ def make_batched_geometry_step(
                     priors.rig_w, priors.rot_w, priors.iso_w,
                 )
             )
-            for key in HARD_FLATTEN_KEYS:
-                if key in quadruples:
-                    losses[key] = flatten_loss(rv.means3d, quadruples[key])
-            for key in UMBRELLA_KEYS:
-                if key in umbrellas:
-                    losses[key] = umbrella_flatten_loss(rv.means3d, umbrellas[key])
-            for key in SOFT_FLATTEN_KEYS:
-                if key in quadruples:
-                    losses[key], _ = soft_flatten_loss(
-                        rv.means3d, quadruples[key], cos_init=priors.cos_init[key]
-                    )
+            flat_total, _ = fused_flatten_loss(
+                rv.means3d, fused_quads, weights,
+                soft_cos_init=priors.cos_init,
+            )
+            pre_weighted = pre_weighted + flat_total
+            if fused_umb is not None:
+                pre_weighted = pre_weighted + fused_umbrella_loss(
+                    rv.means3d, fused_umb, weights
+                )
 
-        total = sum(weights[k] * v for k, v in losses.items() if k in weights)
+        losses["flatten"] = pre_weighted  # already weight-scaled
+        total = (
+            sum(weights[k] * v for k, v in losses.items() if k in weights)
+            + pre_weighted
+        )
         max_radii = jnp.max(radii, axis=0)  # max over views
         return total, (losses, new_cos, max_radii, jnp.mean(psnrs))
 

@@ -1,0 +1,63 @@
+"""Progress reporting: periodic rendered views + PSNR.
+
+Reference ``report_progress`` / ``report_progress_dense``
+(train.py:454-495): every ``log_freq`` iterations, re-render the configured
+log views with the current parameters, compute PSNR against the frame's
+ground truth, and save PNGs under ``<out>/<frame>/``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from topo4d_tpu.core.gaussian import activate_params
+from topo4d_tpu.losses.image import psnr
+
+
+def save_render_png(image: jnp.ndarray, path: str) -> None:
+    """(3, H, W) float -> PNG."""
+    from PIL import Image
+
+    arr = np.asarray(jnp.clip(image, 0.0, 1.0))
+    Image.fromarray(
+        (arr.transpose(1, 2, 0) * 255).astype(np.uint8)
+    ).save(path)
+
+
+def report_progress(
+    params: Dict[str, jnp.ndarray],
+    render_fn,
+    cams,
+    images: jnp.ndarray,  # (V, 3, H, W) ground truth
+    view_names: Sequence[str],
+    log_views: Sequence[str],
+    out_dir: str,
+    frame: int,
+    iteration: int,
+    apply_exposure: bool = True,
+) -> Optional[float]:
+    """Render + save the configured views; returns the last view's PSNR."""
+    rv = activate_params(params) if "means3D" in params else None
+    last = None
+    frame_dir = os.path.join(out_dir, "%06d" % frame)
+    os.makedirs(frame_dir, exist_ok=True)
+    for name in log_views:
+        if name not in view_names:
+            continue
+        vid = list(view_names).index(name)
+        out = render_fn(rv, cams[vid])
+        im = out.image
+        if apply_exposure and "cam_m" in params:
+            im = (
+                jnp.exp(params["cam_m"][vid])[:, None, None] * im
+                + params["cam_c"][vid][:, None, None]
+            )
+        last = float(jnp.mean(psnr(im, images[vid])))
+        save_render_png(
+            im, os.path.join(frame_dir, f"vis{name}_{iteration}.png")
+        )
+    return last

@@ -67,7 +67,35 @@ def build_scene(
 
     ``vertex_colors`` defaults to mid-gray when no template texture is
     available (the reference samples them from the startup texture).
+
+    All jnp init math runs on the CPU backend: on a tunneled TPU, eager
+    op-by-op dispatch costs ~0.5 s per op and made scene assembly take
+    minutes; on CPU it is milliseconds.
     """
+    import jax
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            return _build_scene_impl(
+                mesh, regions, cfg, vertex_colors, trans_g, num_views
+            )
+    return _build_scene_impl(
+        mesh, regions, cfg, vertex_colors, trans_g, num_views
+    )
+
+
+def _build_scene_impl(
+    mesh: MeshObj,
+    regions: FacialRegions,
+    cfg: Config,
+    vertex_colors: Optional[np.ndarray],
+    trans_g: Optional[np.ndarray],
+    num_views: Optional[int],
+):
     trans_g = np.eye(4) if trans_g is None else np.asarray(trans_g)
     num_views = num_views or cfg.data.max_cams
 
@@ -254,17 +282,55 @@ def _const(param, idx, value, like):
     return ScatterConstraint(param=param, idx=idx, value=val)
 
 
+def merge_constraints(
+    cons: List[ScatterConstraint],
+) -> List[ScatterConstraint]:
+    """Fuse constraints into ONE scatter per parameter.
+
+    The reference applies its region writes sequentially (last write wins
+    on overlap, train.py:676-700); we dedupe host-side keeping the LAST
+    value per index so a single deterministic scatter reproduces the
+    sequential semantics — and the jitted step does ~4 scatters instead
+    of ~14.
+    """
+    by_param: Dict[str, Dict[int, int]] = {}
+    values: Dict[str, list] = {}
+    for c in cons:
+        vals = np.asarray(c.value)
+        if vals.ndim == 1:
+            vals = np.broadcast_to(vals[None], (len(c.idx),) + vals.shape)
+        slot = by_param.setdefault(c.param, {})
+        vlist = values.setdefault(c.param, [])
+        for j, idx in enumerate(np.asarray(c.idx)):
+            slot[int(idx)] = len(vlist)
+            vlist.append(vals[j])
+    out = []
+    for param, slot in by_param.items():
+        idx = np.fromiter(slot.keys(), np.int32, len(slot))
+        sel = np.fromiter(slot.values(), np.int64, len(slot))
+        out.append(
+            ScatterConstraint(
+                param=param,
+                idx=idx,
+                value=jnp.asarray(np.stack(values[param])[sel]),
+            )
+        )
+    return out
+
+
 def build_constraints(
     phase: str,
     params0: Dict[str, jnp.ndarray],  # frame-0 initial params
     regions: FacialRegions,
     first_frame_attrs: Optional[Dict[str, jnp.ndarray]] = None,
+    merge: bool = True,
 ) -> List[ScatterConstraint]:
     """Post-step scatter writes for ``phase`` in
     {"init_early", "init", "track"}.
 
     init_early covers the first 70% of frame-0 iterations where the eye
-    socket is additionally frozen (train.py:682-686).
+    socket is additionally frozen (train.py:682-686). With ``merge`` the
+    writes are fused into one scatter per parameter (order-preserving).
     """
     m = regions.masks
     rm = regions.region_masks
@@ -334,7 +400,7 @@ def build_constraints(
             ),
             _const("rgb_colors", m["mouth_inner_masks"], 0.0, p0["rgb_colors"]),
         ]
-    return cons
+    return merge_constraints(cons) if merge else cons
 
 
 def cache_first_frame_attrs(

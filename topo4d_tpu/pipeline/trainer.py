@@ -21,7 +21,12 @@ import numpy as np
 from topo4d_tpu.config import Config
 from topo4d_tpu.core.camera import Camera
 from topo4d_tpu.core.quaternion import quat_normalize
-from topo4d_tpu.losses.flatten import dihedral_cos
+from topo4d_tpu.losses.flatten import (
+    build_fused_flatten,
+    dihedral_cos,
+    fused_flatten_loss,
+)
+from topo4d_tpu.opt.step import HARD_FLATTEN_KEYS, SOFT_FLATTEN_KEYS
 from topo4d_tpu.losses.temporal import TemporalPriors, make_temporal_priors
 from topo4d_tpu.opt.adam import adam_init, reset_moments
 from topo4d_tpu.opt.step import GeometryPriors, TrainState, make_geometry_step
@@ -30,6 +35,7 @@ from topo4d_tpu.pipeline import checkpoint as ckpt
 from topo4d_tpu.pipeline.data import view_order
 from topo4d_tpu.pipeline.masks import dim_inner_mouth
 from topo4d_tpu.pipeline.export import save_mesh
+from topo4d_tpu.pipeline.progress import report_progress
 from topo4d_tpu.pipeline.scene import (
     SceneStatics,
     build_constraints,
@@ -39,6 +45,13 @@ from topo4d_tpu.pipeline.scene import (
 )
 from topo4d_tpu.texture.dense import TextureState, make_texture_step
 from topo4d_tpu.topology.interpolate import interpolate_dense_attribute
+
+
+def _cpu_device():
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None
 
 
 def make_render_fn(cfg: Config):
@@ -92,12 +105,31 @@ class Trainer:
         self.state = TrainState(
             params=params, opt=adam_init(params), max_2d_radius=jnp.zeros(n)
         )
-        rot_n = quat_normalize(params["unnorm_rotations"])
-        cos0 = {
-            k: dihedral_cos(params["means3D"], statics.quadruples[k])
-            for k in ("flat_lid_top", "flat_lid_bottom", "flat_lip", "flat_mouth")
-            if k in statics.quadruples
-        }
+        # init math on CPU: eager ops on a tunneled TPU cost ~0.5 s each
+        cpu = _cpu_device()
+        with jax.default_device(cpu):
+            rot_n = quat_normalize(jnp.asarray(params_np["unnorm_rotations"]))
+            fused = build_fused_flatten(
+                statics.quadruples, HARD_FLATTEN_KEYS, SOFT_FLATTEN_KEYS
+            )
+            cos0 = np.asarray(
+                dihedral_cos(
+                    jnp.asarray(params_np["means3D"]), fused.quads
+                )[fused.num_hard :]
+            )
+            temporal0 = jax.tree_util.tree_map(
+                np.asarray,
+                make_temporal_priors(
+                    jnp.asarray(params_np["means3D"]),
+                    rot_n,
+                    jnp.asarray(statics.ring.indices),
+                ),
+            )
+        self._warm_start = jax.jit(
+            lambda means, rots, nbr: make_temporal_priors(
+                means, quat_normalize(rots), nbr
+            )
+        )
         self.priors = GeometryPriors(
             neighbor_indices=jnp.asarray(statics.ring.indices),
             neighbor_dist=jnp.asarray(statics.ring.dist),
@@ -105,10 +137,8 @@ class Trainer:
             rig_w=jnp.asarray(statics.rig_w),
             rot_w=jnp.asarray(statics.rot_w),
             init_scale=jnp.asarray(statics.init_scale),
-            temporal=make_temporal_priors(
-                params["means3D"], rot_n, jnp.asarray(statics.ring.indices)
-            ),
-            cos_init=cos0,
+            temporal=jax.tree_util.tree_map(jnp.asarray, temporal0),
+            cos_init=jnp.asarray(cos0),
         )
         self.first_frame_attrs: Optional[Dict] = None
         self.output_params: List[Dict[str, np.ndarray]] = []
@@ -141,12 +171,12 @@ class Trainer:
         step_phase = "init" if is_init else "track"
 
         if not is_init:
-            # warm start (train.py:420-438)
-            rot_n = quat_normalize(self.state.params["unnorm_rotations"])
+            # warm start (train.py:420-438), jitted: eager ops through a
+            # tunneled TPU would cost seconds per frame
             self.priors = self.priors._replace(
-                temporal=make_temporal_priors(
+                temporal=self._warm_start(
                     self.state.params["means3D"],
-                    rot_n,
+                    self.state.params["unnorm_rotations"],
                     jnp.asarray(self.statics.ring.indices),
                 )
             )
@@ -201,12 +231,26 @@ class Trainer:
                 metrics["frame"] = t
                 metrics["iter"] = i
                 self.metrics_log.append(dict(metrics))
+                if cfg.data.log_views:
+                    report_progress(
+                        self.state.params, self.render_fn, cams,
+                        images, frame_data.view_names, cfg.data.log_views,
+                        self._out_dir, t + 1, i,
+                    )
         return metrics
 
     def _constraints(self, phase: str):
-        return build_constraints(
-            phase, self.params0, self.statics.regions, self.first_frame_attrs
-        )
+        key = (phase, id(self.first_frame_attrs))
+        if getattr(self, "_con_cache_key", {}).get(phase) != key:
+            if not hasattr(self, "_con_cache_key"):
+                self._con_cache_key = {}
+                self._con_cache = {}
+            self._con_cache[phase] = build_constraints(
+                phase, self.params0, self.statics.regions,
+                self.first_frame_attrs,
+            )
+            self._con_cache_key[phase] = key
+        return self._con_cache[phase]
 
     # ------------------------------------------------------------------
     def fit_frame_texture(self, t: int, frame_data) -> Dict[str, float]:

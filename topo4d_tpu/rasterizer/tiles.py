@@ -154,9 +154,6 @@ class PackedBins(NamedTuple):
     num_cropped: jnp.ndarray  # () int32
 
 
-@functools.partial(
-    jax.jit, static_argnames=("width", "height", "max_span", "chunk")
-)
 def bin_gaussians_packed(
     proj: Projected,
     colors: jnp.ndarray,
@@ -172,9 +169,53 @@ def bin_gaussians_packed(
     (gaussian, tile) pair within the span capacity gets an entry. E_out is
     the static bound N*max_span^2 + T*chunk. ``chunk`` must be 128 (the
     Mosaic lane-alignment unit of the transposed layout).
+
+    Custom VJP: the backward of a data-carrying sort is a permutation
+    scatter per operand (~2.7 ms/step on TPU); instead the saved
+    entry->gaussian ids turn the whole packing backward into ONE
+    segment-sum scatter-add.
     """
+    packed, tile_start, tile_count, num_cropped = _bin_pack(
+        proj.means2d, proj.depths, proj.conics,
+        proj.mask.astype(jnp.float32), proj.radii.astype(jnp.float32),
+        colors, opacities, width, height, max_span, chunk,
+    )
+    return PackedBins(
+        packed=packed,
+        tile_start=tile_start,
+        tile_count=tile_count,
+        num_cropped=num_cropped,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _bin_pack(
+    means2d, depths, conics, maskf, radii_f, colors, opacities,
+    width, height, max_span, chunk,
+):
+    out, _ = _bin_pack_fwd_impl(
+        means2d, depths, conics, maskf, radii_f, colors, opacities,
+        width, height, max_span, chunk,
+    )
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "max_span", "chunk")
+)
+def _bin_pack_fwd_impl(
+    means2d, depths, conics, maskf, radii_f, colors, opacities,
+    width, height, max_span, chunk,
+):
     if chunk % PACK_CHUNK:
         raise ValueError(f"chunk must be a multiple of {PACK_CHUNK}")
+    proj = Projected(
+        means2d=means2d,
+        depths=depths,
+        conics=conics,
+        radii=radii_f.astype(jnp.int32),
+        mask=maskf > 0.5,
+    )
     n = proj.means2d.shape[0]
     x0, y0, x1, y1, tiles_x, tiles_y = tile_rect(proj, width, height)
     span_w = x1 - x0
@@ -263,9 +304,56 @@ def bin_gaussians_packed(
     pad = (-e) % chunk + chunk  # keep boundary DMA windows in bounds
     # tile field -1 so padding can never alias a real tile's mask
     packed = jnp.pad(packed, ((0, 0), (0, pad)), constant_values=-1.0)
-    return PackedBins(
-        packed=packed,
-        tile_start=tile_start,
-        tile_count=tile_end - tile_start,
-        num_cropped=num_cropped,
+    entry_valid = sorted_tile < t
+    # recover each sorted entry's gaussian id from its fused key:
+    # rank = key mod n, gid = depth-order[rank] (no extra sort operand)
+    sorted_gid = order[sorted_key - sorted_tile * jnp.int32(n)]
+    out = (packed, tile_start, tile_end - tile_start, num_cropped)
+    residuals = (sorted_gid.astype(jnp.int32), entry_valid)
+    return out, residuals
+
+
+def _bin_pack_fwd(
+    means2d, depths, conics, maskf, radii_f, colors, opacities,
+    width, height, max_span, chunk,
+):
+    out, res = _bin_pack_fwd_impl(
+        means2d, depths, conics, maskf, radii_f, colors, opacities,
+        width, height, max_span, chunk,
     )
+    return out, res
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _bin_pack_bwd_impl(sorted_gid, entry_valid, n, g_packed):
+    e = sorted_gid.shape[0]
+    # rows of g_packed carrying differentiable per-gaussian fields:
+    # 0:x 1:y 2:ca 3:cb 4:cc 5:opac 8:r 9:g 10:b 11:depth
+    rows = g_packed[jnp.asarray([0, 1, 2, 3, 4, 5, 8, 9, 10, 11]), :e]
+    vals = jnp.where(entry_valid[None, :], rows, 0.0).T  # (E, 10)
+    acc = jnp.zeros((n, 10), vals.dtype).at[sorted_gid].add(
+        vals, mode="drop"
+    )
+    d_means2d = acc[:, 0:2]
+    d_conics = acc[:, 2:5]
+    d_opac = acc[:, 5]
+    d_colors = acc[:, 6:9]
+    d_depths = acc[:, 9]
+    return d_means2d, d_depths, d_conics, d_opac, d_colors
+
+
+def _bin_pack_bwd(width, height, max_span, chunk, res, g):
+    sorted_gid, entry_valid = res
+    n = sorted_gid.shape[0] // (max_span * max_span)
+    g_packed = g[0]  # cotangents of (packed, tile_start, tile_count, ncrop)
+    d_means2d, d_depths, d_conics, d_opac, d_colors = _bin_pack_bwd_impl(
+        sorted_gid, entry_valid, n, g_packed
+    )
+    zero_mask = jnp.zeros(n, g_packed.dtype)
+    return (
+        d_means2d, d_depths, d_conics, zero_mask, zero_mask,
+        d_colors, d_opac,
+    )
+
+
+_bin_pack.defvjp(_bin_pack_fwd, _bin_pack_bwd)
