@@ -239,3 +239,29 @@ def test_photometric_loss_gradient_finite():
     b = jnp.asarray(rng.uniform(0, 1, (3, 24, 24)).astype(np.float32))
     g = jax.grad(lambda x: photometric_loss(x, b))(a)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_gather_neighbors_grads_match_plain_gather():
+    from topo4d_tpu.losses.neighbors import gather_neighbors
+    from topo4d_tpu.topology.adjacency import build_one_ring, inverse_slots
+    from topo4d_tpu.testing import make_grid_mesh
+
+    verts, faces = make_grid_mesh(5, 5)
+    ring = build_one_ring(verts, faces)
+    idx = jnp.asarray(ring.indices)
+    inv = jnp.asarray(ring.inv)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(verts.shape[0], 3)).astype(np.float32))
+    cot = jnp.asarray(
+        rng.normal(size=(idx.shape[0], idx.shape[1], 3)).astype(np.float32)
+    )
+
+    def plain(x):
+        return jnp.sum(x[idx] * cot)
+
+    def custom(x):
+        return jnp.sum(gather_neighbors(x, idx, inv) * cot)
+
+    g_plain = np.asarray(jax.grad(plain)(x))
+    g_custom = np.asarray(jax.grad(custom)(x))
+    np.testing.assert_allclose(g_custom, g_plain, rtol=1e-5, atol=1e-6)

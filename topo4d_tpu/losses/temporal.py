@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from topo4d_tpu.core.quaternion import quat_conjugate, quat_mult, quat_to_rotmat
 from topo4d_tpu.losses.image import weighted_l2_loss_v1, weighted_l2_loss_v2
+from topo4d_tpu.losses.neighbors import gather_neighbors
 
 
 class TemporalPriors(NamedTuple):
@@ -43,6 +44,7 @@ def rigid_rot_iso_losses(
     rig_w: jnp.ndarray,  # (N, K)
     rot_w: jnp.ndarray,  # (N, K)
     iso_w: jnp.ndarray,  # (N, K)
+    neighbor_inv: jnp.ndarray = None,  # (N, K) inverse slots (optional)
 ) -> Dict[str, jnp.ndarray]:
     """The three temporal losses of train.py:331-346.
 
@@ -50,17 +52,24 @@ def rigid_rot_iso_losses(
       must match the cached previous offsets.
     rot: neighbors must share the same relative rotation.
     iso: one-ring distances must match the rest-pose distances.
+
+    With ``neighbor_inv`` the one-ring gathers differentiate via transpose
+    gathers instead of scatter-adds (TPU scatters serialize).
     """
     rel_rot = quat_mult(rotations, priors.prev_inv_rot)  # (N, 4)
     rot_mats = quat_to_rotmat(rel_rot)  # (N, 3, 3)
 
-    neighbor_pts = means3d[neighbor_indices]  # (N, K, 3)
+    if neighbor_inv is not None:
+        gather = lambda x: gather_neighbors(x, neighbor_indices, neighbor_inv)
+    else:
+        gather = lambda x: x[neighbor_indices]
+    neighbor_pts = gather(means3d)  # (N, K, 3)
     curr_offset = neighbor_pts - means3d[:, None]  # (N, K, 3)
     # R^T @ offset: rotate current offsets back into the previous local frame
     curr_offset_in_prev = jnp.einsum("nji,nkj->nki", rot_mats, curr_offset)
     rigid = weighted_l2_loss_v2(curr_offset_in_prev, priors.prev_offset, rig_w)
 
-    rot = weighted_l2_loss_v2(rel_rot[neighbor_indices], rel_rot[:, None], rot_w)
+    rot = weighted_l2_loss_v2(gather(rel_rot), rel_rot[:, None], rot_w)
 
     curr_offset_mag = jnp.sqrt(jnp.sum(curr_offset**2, axis=-1) + 1e-20)
     iso = weighted_l2_loss_v1(curr_offset_mag, neighbor_dist, iso_w)

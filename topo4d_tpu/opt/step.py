@@ -54,6 +54,7 @@ class GeometryPriors(NamedTuple):
     init_scale: jnp.ndarray  # (N,) sqrt(mean knn sq dist)
     temporal: TemporalPriors
     cos_init: jnp.ndarray  # (Es,) fused soft-flatten initial cosines
+    neighbor_inv: Optional[jnp.ndarray] = None  # (N, K) inverse ring slots
 
 
 class TrainState(NamedTuple):
@@ -125,6 +126,7 @@ def make_geometry_step(
                 priors.rig_w,
                 priors.rot_w,
                 priors.iso_w,
+                neighbor_inv=priors.neighbor_inv,
             )
             losses.update(temporal)
             flat_total, _ = fused_flatten_loss(

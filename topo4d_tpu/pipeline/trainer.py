@@ -139,6 +139,7 @@ class Trainer:
             init_scale=jnp.asarray(statics.init_scale),
             temporal=jax.tree_util.tree_map(jnp.asarray, temporal0),
             cos_init=jnp.asarray(cos0),
+            neighbor_inv=jnp.asarray(statics.ring.inv),
         )
         self.first_frame_attrs: Optional[Dict] = None
         self.output_params: List[Dict[str, np.ndarray]] = []

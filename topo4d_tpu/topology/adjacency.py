@@ -41,6 +41,7 @@ class OneRing:
     dist: np.ndarray  # (N, K) float32 rest distances (self-pads too)
     weight: np.ndarray  # (N, K) float32 exp(-2000 d^2), self-pads zeroed
     ragged: List[List[int]]  # original ragged lists (umbrella loss needs them)
+    inv: np.ndarray = None  # (N, K) inverse slots (scatter-free grads)
 
 
 def pad_one_ring(ragged: List[List[int]]) -> np.ndarray:
@@ -81,12 +82,38 @@ def build_one_ring(
         wh_sq = np.where(cross, sq * 1000.0**2, sq)
     weight = np.exp(-2000.0 * wh_sq)
     weight[weight == 1.0] = 0.0  # self-pads (d == 0) contribute nothing
+    idx32 = idx.astype(np.int32)
     return OneRing(
-        indices=idx.astype(np.int32),
+        indices=idx32,
         dist=dist.astype(np.float32),
         weight=weight.astype(np.float32),
         ragged=ragged,
+        inv=inverse_slots(idx32),
     )
+
+
+def inverse_slots(indices: np.ndarray) -> np.ndarray:
+    """For each (v, j): the slot s with indices[indices[v, j], s] == v.
+
+    One-ring adjacency is symmetric (u in ring(v) <=> v in ring(u)), and
+    self-pads point at themselves, so the inverse always exists. The
+    inverse turns the backward of ``x[indices]`` into a GATHER
+    (dx[v] = sum_j dy[indices[v,j], inv[v,j]]) instead of a scatter-add —
+    scatters serialize on TPU (losses/neighbors.py).
+    """
+    n, k = indices.shape
+    inv = np.zeros((n, k), np.int32)
+    # slot lookup table: pos[u][v] = slot of v in u's ring (first match)
+    pos = [dict() for _ in range(n)]
+    for u in range(n):
+        for s in range(k - 1, -1, -1):  # first occurrence wins
+            pos[u][int(indices[u, s])] = s
+    for v in range(n):
+        for j in range(k):
+            u = int(indices[v, j])
+            # self-pad slots must each route their own cotangent back
+            inv[v, j] = j if u == v else pos[u][v]
+    return inv
 
 
 def triangulate_faces(faces: Sequence[Sequence[int]]) -> List[List[int]]:
