@@ -91,81 +91,89 @@ def _window_bounds(start, count, chunk):
     return first, jnp.maximum(last - first, 0)
 
 
-def _fwd_kernel(tiles_x: int, chunk: int):
+def _fwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
     def kernel(start_ref, count_ref, packed_hbm, out_ref, buf, sem):
-        i = pl.program_id(0)
-        first, k = _window_bounds(start_ref[i], count_ref[i], chunk)
-        px, py = _pixel_coords(i, tiles_x)
-        tile_f = i.astype(jnp.float32)
+        step = pl.program_id(0)
         u_prefix, _ = _tri_masks(chunk)
+        num_t = pl.num_programs(0) * tiles_per_step
 
-        def get_dma(slot, c):
-            off = pl.multiple_of((first + c) * chunk, chunk)
-            return pltpu.make_async_copy(
-                packed_hbm.at[:, pl.ds(off, chunk)],
-                buf.at[slot],
-                sem.at[slot],
-            )
+        for t_off in range(tiles_per_step):  # static unroll
+            i = step * tiles_per_step + t_off
+            first, k = _window_bounds(start_ref[i], count_ref[i], chunk)
+            px, py = _pixel_coords(i, tiles_x)
+            tile_f = i.astype(jnp.float32)
 
-        @pl.when(k > 0)
-        def _():
-            get_dma(0, 0).start()
+            def get_dma(slot, c, first=first):
+                off = pl.multiple_of((first + c) * chunk, chunk)
+                return pltpu.make_async_copy(
+                    packed_hbm.at[:, pl.ds(off, chunk)],
+                    buf.at[slot],
+                    sem.at[slot],
+                )
 
-        def cond(state):
-            c, t_un, t_fr, acc = state
-            return jnp.logical_and(c < k, jnp.max(t_un) >= TRANSMITTANCE_MIN)
-
-        def body(state):
-            c, t_un, t_fr, acc = state
-            slot = jax.lax.rem(c, 2)
-
-            @pl.when(c + 1 < k)
+            @pl.when(k > 0)
             def _():
-                get_dma(1 - slot, c + 1).start()
+                get_dma(0, 0).start()
 
-            get_dma(slot, c).wait()
-            data = buf[slot]
-            alpha, _, _, _, _ = _chunk_terms(data, px, py, tile_f)
-            log1m = jnp.log1p(-alpha)
-            s_excl = jax.lax.dot(
-                log1m, u_prefix, preferred_element_type=jnp.float32
-            )  # (PX, chunk) exclusive prefix along entries
-            t_excl_l = jnp.exp(s_excl)
-            t_incl_l = t_excl_l * (1.0 - alpha)
-            t_excl = t_un * t_excl_l
-            t_incl = t_un * t_incl_l
-            keep2 = t_incl >= TRANSMITTANCE_MIN
-            w = alpha * t_excl * jnp.where(keep2, 1.0, 0.0)  # (PX, chunk)
-            feat = data[8:16, :]  # (8, chunk)
-            acc = acc + jax.lax.dot_general(
-                w,
-                feat,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (PX, 8)
-            t_un = t_incl[:, chunk - 1 : chunk]
-            t_fr = jnp.minimum(
-                t_fr,
-                jnp.min(jnp.where(keep2, t_incl, 1.0), axis=1, keepdims=True),
+            def cond(state, k=k):
+                c, t_un, t_fr, acc = state
+                return jnp.logical_and(
+                    c < k, jnp.max(t_un) >= TRANSMITTANCE_MIN
+                )
+
+            def body(state, k=k, px=px, py=py, tile_f=tile_f, get_dma=get_dma):
+                c, t_un, t_fr, acc = state
+                slot = jax.lax.rem(c, 2)
+
+                @pl.when(c + 1 < k)
+                def _():
+                    get_dma(1 - slot, c + 1).start()
+
+                get_dma(slot, c).wait()
+                data = buf[slot]
+                alpha, _, _, _, _ = _chunk_terms(data, px, py, tile_f)
+                log1m = jnp.log1p(-alpha)
+                s_excl = jax.lax.dot(
+                    log1m, u_prefix, preferred_element_type=jnp.float32
+                )  # (PX, chunk) exclusive prefix along entries
+                t_excl_l = jnp.exp(s_excl)
+                t_incl_l = t_excl_l * (1.0 - alpha)
+                t_excl = t_un * t_excl_l
+                t_incl = t_un * t_incl_l
+                keep2 = t_incl >= TRANSMITTANCE_MIN
+                w = alpha * t_excl * jnp.where(keep2, 1.0, 0.0)  # (PX, chunk)
+                feat = data[8:16, :]  # (8, chunk)
+                acc = acc + jax.lax.dot_general(
+                    w,
+                    feat,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (PX, 8)
+                t_un = t_incl[:, chunk - 1 : chunk]
+                t_fr = jnp.minimum(
+                    t_fr,
+                    jnp.min(
+                        jnp.where(keep2, t_incl, 1.0), axis=1, keepdims=True
+                    ),
+                )
+                return (c + 1, t_un, t_fr, acc)
+
+            ones = jnp.ones((PX, 1), jnp.float32)
+            acc0 = jnp.zeros((PX, 8), jnp.float32)
+            c_end, t_un, t_fr, acc = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), ones, ones, acc0)
             )
-            return (c + 1, t_un, t_fr, acc)
 
-        ones = jnp.ones((PX, 1), jnp.float32)
-        acc0 = jnp.zeros((PX, 8), jnp.float32)
-        c_end, t_un, t_fr, acc = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), ones, ones, acc0)
-        )
+            # early termination leaves one prefetched DMA in flight — drain
+            # it (scratch/semaphores persist across grid steps)
+            @pl.when(jnp.logical_and(c_end < k, c_end > 0))
+            def _():
+                get_dma(jax.lax.rem(c_end, 2), c_end).wait()
 
-        # early termination leaves one prefetched DMA in flight — drain it
-        # (scratch/semaphores persist across grid steps)
-        @pl.when(jnp.logical_and(c_end < k, c_end > 0))
-        def _():
-            get_dma(jax.lax.rem(c_end, 2), c_end).wait()
-
-        out = jnp.concatenate(
-            [acc[:, 0:4], t_fr, jnp.zeros((PX, 3), jnp.float32)], axis=1
-        )
-        out_ref[0] = out
+            out = jnp.concatenate(
+                [acc[:, 0:4], t_fr, jnp.zeros((PX, 3), jnp.float32)], axis=1
+            )
+            out_ref[t_off] = out
 
     return kernel
 
@@ -177,27 +185,46 @@ def _blend_fwd_impl(
     packed, tile_start, tile_count, tiles_x, tiles_y, chunk, interpret=False
 ):
     t = tiles_x * tiles_y
+    tps = _tiles_per_step(t)
+    pad_t = -(-t // tps) * tps
+    if pad_t != t:
+        # pad tile metadata so the grid divides evenly (extra tiles empty)
+        tile_start = jnp.concatenate(
+            [tile_start, jnp.zeros(pad_t - t, jnp.int32)]
+        )
+        tile_count = jnp.concatenate(
+            [tile_count, jnp.zeros(pad_t - t, jnp.int32)]
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(t,),
+        grid=(pad_t // tps,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, PX, 8), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            (tps, PX, 8), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, PACK_FIELDS, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    return pl.pallas_call(
-        _fwd_kernel(tiles_x, chunk),
+    out = pl.pallas_call(
+        _fwd_kernel(tiles_x, chunk, tps),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t, PX, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((pad_t, PX, 8), jnp.float32),
         interpret=interpret,
     )(tile_start, tile_count, packed)
+    return out[:t]
 
 
-def _bwd_kernel(tiles_x: int, chunk: int, max_chunks: int):
+def _tiles_per_step(num_tiles: int) -> int:
+    """Tiles per grid step: amortizes per-step overhead (~1-2 us each)."""
+    for tps in (4, 2, 1):
+        if num_tiles >= tps:
+            return tps
+    return 1
+
+
+def _bwd_kernel(tiles_x: int, chunk: int, max_chunks: int, tiles_per_step: int):
     """Backward: resweep (boundary T columns) + reverse RMW grad sweep."""
 
     def kernel(
@@ -207,12 +234,29 @@ def _bwd_kernel(tiles_x: int, chunk: int, max_chunks: int):
         # dpacked is aliased to a zeros input, so RMW accumulation starts
         # from a defined state without an in-kernel memset
         del zeros_hbm
-        i = pl.program_id(0)
+        step = pl.program_id(0)
+        u_prefix, l_suffix = _tri_masks(chunk)
+
+        for t_off in range(tiles_per_step):  # static unroll
+            _bwd_one_tile(
+                step * tiles_per_step + t_off,
+                start_ref, count_ref, packed_hbm, g_ref[t_off], dpacked_hbm,
+                buf, tb, dbuf, ebuf, sem, wsem, esem,
+                tiles_x, chunk, u_prefix, l_suffix,
+            )
+
+    return kernel
+
+
+def _bwd_one_tile(
+    i, start_ref, count_ref, packed_hbm, g8, dpacked_hbm,
+    buf, tb, dbuf, ebuf, sem, wsem, esem, tiles_x, chunk, u_prefix, l_suffix,
+):
+    if True:
         first, k = _window_bounds(start_ref[i], count_ref[i], chunk)
         px, py = _pixel_coords(i, tiles_x)
         tile_f = i.astype(jnp.float32)
-        u_prefix, l_suffix = _tri_masks(chunk)
-        g8 = g_ref[0]  # (PX, 8): cols 0-3 feature grads, col 4 T_final grad
+        # g8 (PX, 8): cols 0-3 feature grads, col 4 T_final grad
         g_final = g8[:, 4:5]  # (PX, 1)
 
         def get_dma(slot, c):
@@ -369,8 +413,6 @@ def _bwd_kernel(tiles_x: int, chunk: int, max_chunks: int):
         def _():
             write_grad_dma(jax.lax.rem(k - 1, 2), 0).wait()
 
-    return kernel
-
 
 @functools.partial(
     jax.jit,
@@ -382,13 +424,25 @@ def _blend_bwd_impl(
 ):
     t = tiles_x * tiles_y
     e_pad = packed.shape[1]
+    tps = _tiles_per_step(t)
+    pad_t = -(-t // tps) * tps
+    if pad_t != t:
+        tile_start = jnp.concatenate(
+            [tile_start, jnp.zeros(pad_t - t, jnp.int32)]
+        )
+        tile_count = jnp.concatenate(
+            [tile_count, jnp.zeros(pad_t - t, jnp.int32)]
+        )
+        g_out = jnp.concatenate(
+            [g_out, jnp.zeros((pad_t - t, PX, 8), g_out.dtype)]
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(t,),
+        grid=(pad_t // tps,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (1, PX, 8), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                (tps, PX, 8), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -405,7 +459,7 @@ def _blend_bwd_impl(
     )
     zeros = jnp.zeros((PACK_FIELDS, e_pad), jnp.float32)
     return pl.pallas_call(
-        _bwd_kernel(tiles_x, chunk, max_chunks),
+        _bwd_kernel(tiles_x, chunk, max_chunks, tps),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((PACK_FIELDS, e_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
