@@ -136,3 +136,36 @@ def test_dryrun_multichip_entry():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+def test_shard_map_pallas_matches_unsharded():
+    """The shard_map path (Pallas-compatible) == plain vmap path."""
+    from topo4d_tpu.rasterizer.pallas import render_gaussians_pallas
+
+    params, cams, images, priors, state, lr, weights = small_setup(v=8, w=64, h=32)
+
+    def pallas_fn(rv, cam):
+        return render_gaussians_pallas(
+            rv, cam, max_span=4, chunk=128, interpret=True
+        )
+
+    mesh = make_view_mesh(8)
+    step_sharded = make_batched_geometry_step({}, {}, pallas_fn, mesh=mesh)
+    step_plain = make_batched_geometry_step({}, {}, render_fn)
+
+    with mesh:
+        images_s = shard_view_batch(mesh, images)
+        cams_s = shard_view_batch(mesh, cams)
+        new_s, _, m_s = step_sharded(
+            replicated(mesh, state), images_s, cams_s,
+            replicated(mesh, priors), [], lr, weights, "init",
+        )
+    new_p, _, m_p = step_plain(state, images, cams, priors, [], lr, weights, "init")
+    np.testing.assert_allclose(
+        float(m_s["loss_total"]), float(m_p["loss_total"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_s.params["means3D"]),
+        np.asarray(new_p.params["means3D"]),
+        rtol=1e-3, atol=1e-6,
+    )

@@ -45,6 +45,7 @@ def make_batched_geometry_step(
     umbrellas: Dict[str, UmbrellaFlatten],
     render_fn: Callable,
     sequential_views: bool = False,
+    mesh=None,
 ) -> Callable:
     """Jitted all-views step. ``render_fn(rv, cam) -> RenderOutput``.
 
@@ -55,7 +56,20 @@ def make_batched_geometry_step(
     applies Adam + constraints. Metrics include the mean PSNR over views.
     """
 
+    if mesh is not None:
+        from topo4d_tpu.parallel.sharded import make_sharded_view_loss
+
+        sharded_loss = make_sharded_view_loss(render_fn, mesh)
+
     def per_view_losses(params, rv, images, cams):
+        v = images.shape[0]
+        args = (images, cams, params["cam_m"][:v], params["cam_c"][:v])
+        if mesh is not None:
+            # shard_map: each device maps over its LOCAL views (works with
+            # the Pallas kernels), loss psums over the 'view' axis
+            loss, mean_psnr, max_radii = sharded_loss(rv, *args)
+            return loss, mean_psnr, max_radii
+
         def one_view(gt, cam, cam_m, cam_c):
             out = render_fn(rv, cam)
             im = (
@@ -64,16 +78,15 @@ def make_batched_geometry_step(
             )
             return photometric_loss(im, gt), jnp.mean(psnr(im, gt)), out.radii
 
-        v = images.shape[0]
-        args = (images, cams, params["cam_m"][:v], params["cam_c"][:v])
         if sequential_views:
             # the Pallas blend kernels use manual DMA + scalar prefetch,
             # which have no vmap rule — scan views inside one jit instead
-            # (single-device; multi-device Pallas goes through shard_map)
-            return jax.lax.map(lambda a: one_view(*a), args)
-        # vmap keeps the view axis visible to XLA so jit sharding
-        # annotations partition it across the 'view' mesh axis
-        return jax.vmap(one_view)(*args)
+            losses, psnrs, radii = jax.lax.map(lambda a: one_view(*a), args)
+        else:
+            # vmap keeps the view axis visible to XLA so jit sharding
+            # annotations partition it across the 'view' mesh axis
+            losses, psnrs, radii = jax.vmap(one_view)(*args)
+        return jnp.mean(losses), jnp.mean(psnrs), jnp.max(radii, axis=0)
 
     fused_quads = build_fused_flatten(
         quadruples, HARD_FLATTEN_KEYS, SOFT_FLATTEN_KEYS
@@ -82,8 +95,8 @@ def make_batched_geometry_step(
 
     def loss_fn(params, images, cams, priors, weights, phase):
         rv = activate_params(params)
-        im_losses, psnrs, radii = per_view_losses(params, rv, images, cams)
-        losses: Dict[str, jnp.ndarray] = {"im": jnp.mean(im_losses)}
+        im_loss, mean_psnr, max_radii = per_view_losses(params, rv, images, cams)
+        losses: Dict[str, jnp.ndarray] = {"im": im_loss}
         new_cos = priors.cos_init
         pre_weighted = jnp.zeros(())
 
@@ -125,8 +138,7 @@ def make_batched_geometry_step(
             sum(weights[k] * v for k, v in losses.items() if k in weights)
             + pre_weighted
         )
-        max_radii = jnp.max(radii, axis=0)  # max over views
-        return total, (losses, new_cos, max_radii, jnp.mean(psnrs))
+        return total, (losses, new_cos, max_radii, mean_psnr)
 
     @functools.partial(jax.jit, static_argnames=("phase",))
     def step(

@@ -94,9 +94,17 @@ class Trainer:
         self.step = make_geometry_step(
             statics.quadruples, statics.umbrellas, self.render_fn
         )
+        # all-views mode: multi-device uses shard_map over the view axis
+        # (required for the Pallas backend, which has no vmap rule)
+        self.mesh = None
+        if cfg.schedule.views_per_step == 0 and len(jax.devices()) > 1:
+            from topo4d_tpu.parallel.mesh import make_view_mesh
+
+            self.mesh = make_view_mesh(len(jax.devices()))
         self.batched_step = make_batched_geometry_step(
             statics.quadruples, statics.umbrellas, self.render_fn,
             sequential_views=(cfg.raster.backend == "pallas"),
+            mesh=self.mesh,
         )
 
         params = {k: jnp.asarray(v) for k, v in params_np.items()}
@@ -217,6 +225,11 @@ class Trainer:
                 lr = self.lrs_for("track")
             weights = self.weights_for(step_phase)
             if batched:
+                if self.mesh is not None:
+                    from topo4d_tpu.parallel.mesh import shard_view_batch
+
+                    images = shard_view_batch(self.mesh, images)
+                    cams = shard_view_batch(self.mesh, cams)
                 self.state, self.priors, m = self.batched_step(
                     self.state, images, cams, self.priors, constraints,
                     lr, weights, step_phase,
