@@ -58,22 +58,23 @@ def _gaussian_1d(window_size: int, sigma: float) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
-@functools.lru_cache(maxsize=32)
-def _band_matrix(size: int, window_size: int, sigma: float) -> np.ndarray:
+def _band_matrix(size: int, window_size: int, sigma: float) -> jnp.ndarray:
     """Banded Toeplitz matrix implementing zero-padded 'same' 1-D conv.
 
     T[i, j] = g[j - i + k//2]; conv-by-matmul keeps the SSIM window on the
     MXU — a depthwise 3-channel conv lowers terribly on TPU (19 ms/step vs
     <1 ms this way), and the separable Gaussian makes the two 1-D passes
-    exactly equal to the reference's 2-D window conv.
+    exactly equal to the reference's 2-D window conv. Built ON DEVICE from
+    iota: a host constant would bake size^2 floats into the executable
+    (103 MB of MLIR for a 4K image).
     """
-    g = _gaussian_1d(window_size, sigma)
+    g = jnp.asarray(_gaussian_1d(window_size, sigma))
     half = window_size // 2
-    t = np.zeros((size, size), np.float32)
-    for off in range(-half, half + 1):
-        d = np.full(size - abs(off), g[off + half], np.float32)
-        t += np.diag(d, k=off)
-    return t
+    row = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1)
+    off = col - row + half
+    inside = (off >= 0) & (off < window_size)
+    return jnp.where(inside, g[jnp.clip(off, 0, window_size - 1)], 0.0)
 
 
 def _window_conv(
@@ -81,8 +82,8 @@ def _window_conv(
 ) -> jnp.ndarray:
     """Depthwise 'same' Gaussian conv of (C, H, W) via banded matmuls."""
     c, h, w = img.shape
-    th = jnp.asarray(_band_matrix(h, window_size, sigma))
-    tw = jnp.asarray(_band_matrix(w, window_size, sigma))
+    th = _band_matrix(h, window_size, sigma)
+    tw = _band_matrix(w, window_size, sigma)
     out = jnp.einsum("ij,cjk->cik", th, img, preferred_element_type=jnp.float32)
     return jnp.einsum("cik,lk->cil", out, tw, preferred_element_type=jnp.float32)
 

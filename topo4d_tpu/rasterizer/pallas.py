@@ -41,7 +41,10 @@ def _render_pallas_impl(
         proj, colors, opacities, width, height, max_span=max_span, chunk=chunk
     )
     tiles_x, tiles_y = num_tiles(width, height)
-    max_chunks = -(-n // chunk) + 2  # a tile holds each Gaussian at most once
+    # a tile holds each Gaussian at most once; cap the backward boundary-T
+    # scratch (beyond ~256 full windows transmittance is < 1e-4 for any
+    # non-degenerate content, so clamped windows carry zero gradient anyway)
+    max_chunks = min(-(-n // chunk) + 2, 256)
     out = pallas_blend(
         bins.packed,
         bins.tile_start,
@@ -51,17 +54,17 @@ def _render_pallas_impl(
         chunk,
         max_chunks,
         interpret,
-    )  # (T, PX, 8)
+    )  # (T, 8, PX)
 
-    rgb_tiles = out[:, :, 0:3] + out[:, :, 4:5] * bg[None, None, :]
-    depth_tiles = out[:, :, 3:4]
-    alpha_tiles = 1.0 - out[:, :, 4:5]
+    rgb_tiles = out[:, 0:3, :] + out[:, 4:5, :] * bg[None, :, None]
+    depth_tiles = out[:, 3:4, :]
+    alpha_tiles = 1.0 - out[:, 4:5, :]
 
     def untile(x):
-        """(T, PX, C) -> (C, H, W)."""
-        c = x.shape[2]
-        x = x.reshape(tiles_y, tiles_x, TILE, TILE, c)
-        x = x.transpose(4, 0, 2, 1, 3).reshape(c, tiles_y * TILE, tiles_x * TILE)
+        """(T, C, PX) -> (C, H, W)."""
+        c = x.shape[1]
+        x = x.reshape(tiles_y, tiles_x, c, TILE, TILE)
+        x = x.transpose(2, 0, 3, 1, 4).reshape(c, tiles_y * TILE, tiles_x * TILE)
         return x[:, :height, :width]
 
     return untile(rgb_tiles), untile(depth_tiles), untile(alpha_tiles), bins.num_cropped

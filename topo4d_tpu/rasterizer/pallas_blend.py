@@ -173,7 +173,10 @@ def _fwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
             out = jnp.concatenate(
                 [acc[:, 0:4], t_fr, jnp.zeros((PX, 3), jnp.float32)], axis=1
             )
-            out_ref[t_off] = out
+            # transpose to (8, PX): a (T, PX, 8) output buffer gets its
+            # minor dim padded to 128 lanes by XLA in the backward epilogue
+            # (16x memory, OOM at 4K); (T, 8, PX) lays out clean
+            out_ref[t_off] = out.T
 
     return kernel
 
@@ -200,7 +203,7 @@ def _blend_fwd_impl(
         grid=(pad_t // tps,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (tps, PX, 8), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            (tps, 8, PX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, PACK_FIELDS, chunk), jnp.float32),
@@ -210,7 +213,7 @@ def _blend_fwd_impl(
     out = pl.pallas_call(
         _fwd_kernel(tiles_x, chunk, tps),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((pad_t, PX, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((pad_t, 8, PX), jnp.float32),
         interpret=interpret,
     )(tile_start, tile_count, packed)
     return out[:t]
@@ -240,8 +243,8 @@ def _bwd_kernel(tiles_x: int, chunk: int, max_chunks: int, tiles_per_step: int):
         for t_off in range(tiles_per_step):  # static unroll
             _bwd_one_tile(
                 step * tiles_per_step + t_off,
-                start_ref, count_ref, packed_hbm, g_ref[t_off], dpacked_hbm,
-                buf, tb, dbuf, ebuf, sem, wsem, esem,
+                start_ref, count_ref, packed_hbm, g_ref[t_off].T,
+                dpacked_hbm, buf, tb, dbuf, ebuf, sem, wsem, esem,
                 tiles_x, chunk, u_prefix, l_suffix,
             )
 
@@ -434,7 +437,7 @@ def _blend_bwd_impl(
             [tile_count, jnp.zeros(pad_t - t, jnp.int32)]
         )
         g_out = jnp.concatenate(
-            [g_out, jnp.zeros((pad_t - t, PX, 8), g_out.dtype)]
+            [g_out, jnp.zeros((pad_t - t, 8, PX), g_out.dtype)]
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -442,7 +445,7 @@ def _blend_bwd_impl(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (tps, PX, 8), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                (tps, 8, PX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -476,11 +479,12 @@ def pallas_blend(
     packed, tile_start, tile_count, tiles_x, tiles_y, chunk, max_chunks,
     interpret=False,
 ):
-    """Blend depth-sorted packed entries -> (T, PX, 8) tile buffers.
+    """Blend depth-sorted packed entries -> (T, 8, PX) tile buffers.
 
-    Cols 0-3: alpha-blended (r, g, b, depth); col 4: final (frozen)
-    transmittance T_final; cols 5-7: zero. Background compositing and
-    alpha = 1 - T_final happen in XLA outside.
+    Rows 0-3: alpha-blended (r, g, b, depth); row 4: final (frozen)
+    transmittance T_final; rows 5-7: zero. Background compositing and
+    alpha = 1 - T_final happen in XLA outside. Layout note: the minor dim
+    must be PX (=256), not 8 — XLA pads small minor dims to 128 lanes.
     """
     return _blend_fwd_impl(
         packed, tile_start, tile_count, tiles_x, tiles_y, chunk, interpret

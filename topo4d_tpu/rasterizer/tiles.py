@@ -248,31 +248,37 @@ def _bin_pack_fwd_impl(
     def expand(v):
         return jnp.broadcast_to(v[:, None], (n, r)).reshape(-1)
 
-    if (t + 1) * n >= 2**31:
-        raise NotImplementedError(
-            "tile_id * n exceeds int32 fused-key range; shard the image or "
-            "reduce N per shard"
-        )
-    fused = flat_tile * jnp.int32(n) + flat_rank
-    sorted_vals = jax.lax.sort(
-        (
-            fused,
-            expand(proj.means2d[:, 0]),
-            expand(proj.means2d[:, 1]),
-            expand(proj.conics[:, 0]),
-            expand(proj.conics[:, 1]),
-            expand(proj.conics[:, 2]),
-            expand(opacities),
-            expand(colors[:, 0]),
-            expand(colors[:, 1]),
-            expand(colors[:, 2]),
-            expand(proj.depths),
-        ),
-        num_keys=1,
-        is_stable=False,
+    data_ops = (
+        expand(proj.means2d[:, 0]),
+        expand(proj.means2d[:, 1]),
+        expand(proj.conics[:, 0]),
+        expand(proj.conics[:, 1]),
+        expand(proj.conics[:, 2]),
+        expand(opacities),
+        expand(colors[:, 0]),
+        expand(colors[:, 1]),
+        expand(colors[:, 2]),
+        expand(proj.depths),
     )
-    sorted_key = sorted_vals[0]
-    sorted_tile = sorted_key // jnp.int32(n)
+    if (t + 1) * n < 2**31:
+        # fused single int32 key sorts ~2x faster than lexicographic
+        fused = flat_tile * jnp.int32(n) + flat_rank
+        sorted_vals = jax.lax.sort(
+            (fused,) + data_ops, num_keys=1, is_stable=False
+        )
+        sorted_key = sorted_vals[0]
+        sorted_tile = sorted_key // jnp.int32(n)
+        sorted_rank = sorted_key - sorted_tile * jnp.int32(n)
+        sorted_vals = sorted_vals[:1] + sorted_vals[1:]
+        data_sorted = sorted_vals[1:]
+    else:
+        # large tile*N products (dense texture phase at 4K): two-key sort
+        sorted_vals = jax.lax.sort(
+            (flat_tile, flat_rank) + data_ops, num_keys=2, is_stable=True
+        )
+        sorted_tile = sorted_vals[0]
+        sorted_rank = sorted_vals[1]
+        data_sorted = sorted_vals[2:]
 
     tile_start = jnp.searchsorted(
         sorted_tile, jnp.arange(t, dtype=jnp.int32), side="left"
@@ -283,18 +289,18 @@ def _bin_pack_fwd_impl(
 
     zeros = jnp.zeros(e, jnp.float32)
     rows = [
-        sorted_vals[1],  # x
-        sorted_vals[2],  # y
-        sorted_vals[3],  # conic a
-        sorted_vals[4],  # conic b
-        sorted_vals[5],  # conic c
-        sorted_vals[6],  # opacity
+        data_sorted[0],  # x
+        data_sorted[1],  # y
+        data_sorted[2],  # conic a
+        data_sorted[3],  # conic b
+        data_sorted[4],  # conic c
+        data_sorted[5],  # opacity
         sorted_tile.astype(jnp.float32),  # tile id (mask field)
         zeros,
-        sorted_vals[7],  # r
-        sorted_vals[8],  # g
-        sorted_vals[9],  # b
-        sorted_vals[10],  # depth
+        data_sorted[6],  # r
+        data_sorted[7],  # g
+        data_sorted[8],  # b
+        data_sorted[9],  # depth
         zeros,
         zeros,
         zeros,
@@ -305,9 +311,9 @@ def _bin_pack_fwd_impl(
     # tile field -1 so padding can never alias a real tile's mask
     packed = jnp.pad(packed, ((0, 0), (0, pad)), constant_values=-1.0)
     entry_valid = sorted_tile < t
-    # recover each sorted entry's gaussian id from its fused key:
-    # rank = key mod n, gid = depth-order[rank] (no extra sort operand)
-    sorted_gid = order[sorted_key - sorted_tile * jnp.int32(n)]
+    # recover each sorted entry's gaussian id from its sorted rank:
+    # gid = depth-order[rank] (no extra sort operand)
+    sorted_gid = order[sorted_rank]
     out = (packed, tile_start, tile_end - tile_start, num_cropped)
     residuals = (sorted_gid.astype(jnp.int32), entry_valid)
     return out, residuals

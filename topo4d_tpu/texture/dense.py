@@ -51,7 +51,10 @@ def make_texture_step(render_fn: Callable) -> Callable:
         rv = dense_rendervars(params, dense_means3d)
         out = render_fn(rv, cam)
         losses = {
-            "im": photometric_loss(out.image, gt),
+            # remat: at 4K the SSIM intermediates alone are ~1.5 GB of
+            # saved residuals; recomputing them in backward keeps the
+            # texture phase inside HBM
+            "im": jax.checkpoint(photometric_loss)(out.image, gt),
             "soft_color": l1_loss_sum_last(
                 params["dense_rgb_colors"], anchor_colors
             ),
