@@ -274,3 +274,42 @@ def test_interpolate_dense_attribute_matches_reference_semantics():
         )
     )
     np.testing.assert_allclose(out_pos, topo.dense_vertices, atol=1e-5)
+
+
+def test_write_obj_del_vertex(tmp_path):
+    from topo4d_tpu.topology.obj_io import load_obj, write_obj_del_vertex
+
+    verts, uvs, faces, uv_faces = make_quad_grid(3, 3)
+    path = os.path.join(tmp_path, "del.obj")
+    # delete the corner vertex 0 (its ring must also be listed to qualify)
+    write_obj_del_vertex(path, verts, faces, uvs, uv_faces, [0, 1, 3, 4])
+    # without neighbors given, all four vanish; faces touching them dropped
+    mesh = load_obj(path)
+    assert mesh.vertices.shape[0] == 5
+    assert all(max(f) < 5 for f in mesh.faces)
+
+
+def test_scale_image_and_rotate_cam():
+    from topo4d_tpu.core.agisoft import rotate_image_cam, scale_image
+
+    img = np.arange(8 * 8 * 3, dtype=np.float64).reshape(8, 8, 3)
+    cam = {
+        "intrinsics": np.array([[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]]),
+        "image_size": np.array([8, 8]),
+    }
+    small, cam2 = scale_image(img, 0.5, cam)
+    assert small.shape[:2] == (4, 4)
+    assert cam2["intrinsics"][0, 0] == 50.0
+    rot, cam3 = rotate_image_cam(img, dict(cam), angle=90)
+    assert rot.shape[:2] == (8, 8)
+    assert cam3["intrinsics"][0, 0] == 100.0  # fy moved into fx slot
+    assert tuple(cam3["image_size"]) == (8, 8)
+
+
+def test_quaternion_similarity():
+    from topo4d_tpu.core.quaternion import quaternion_similarity
+
+    q = jnp.asarray([1.0, 0, 0, 0])
+    assert float(quaternion_similarity(q, q)) < 1e-3
+    q90 = jnp.asarray([np.cos(np.pi / 4), 0, 0, np.sin(np.pi / 4)])
+    np.testing.assert_allclose(float(quaternion_similarity(q, q90)), 90.0, atol=1e-3)

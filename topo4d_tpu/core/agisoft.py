@@ -202,6 +202,44 @@ def perspective_project(
     return (intrinsics @ img.T).T
 
 
+def scale_image(image: np.ndarray, scale_factor: float, camera=None):
+    """Downscale an image and (optionally) its intrinsics (camera.py:246-254).
+
+    Uses exact integer-stride area averaging for 1/k factors (the only use
+    in the pipeline) instead of skimage's general resampler.
+    """
+    inv = 1.0 / scale_factor
+    k = int(round(inv))
+    if abs(inv - k) > 1e-6:
+        raise ValueError("only integer downscale factors supported")
+    h, w = image.shape[:2]
+    hc, wc = (h // k) * k, (w // k) * k
+    img = image[:hc, :wc].reshape(h // k, k, w // k, k, -1).mean(axis=(1, 3))
+    if camera is None:
+        return img
+    camera = dict(camera)
+    scale_mat = np.diag([scale_factor, scale_factor, 1.0])
+    camera["intrinsics"] = scale_mat @ camera["intrinsics"]
+    return img, camera
+
+
+def rotate_image_cam(image: np.ndarray, camera=None, angle: int = 90):
+    """Rotate an image and adjust the camera intrinsics (camera.py:207-241)."""
+    img = rotate_image(image, angle)
+    if camera is None:
+        return img
+    camera = dict(camera)
+    h = camera["image_size"][1]
+    rt = np.array([[0, 1, 0], [-1, 0, float(h)], [0, 0, 1]])
+    fx, fy = camera["intrinsics"][0, 0], camera["intrinsics"][1, 1]
+    k = rt @ camera["intrinsics"]
+    k[0, 0], k[1, 1] = fy, fx
+    k[0, 1] = k[1, 0] = 0.0
+    camera["intrinsics"] = k
+    camera["image_size"] = camera["image_size"][::-1]
+    return img, camera
+
+
 def rotate_image(image: np.ndarray, angle_deg: int) -> np.ndarray:
     """Rotate an (H, W, C) image by a multiple of 90 degrees (resize=True).
 

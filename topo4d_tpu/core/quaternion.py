@@ -97,3 +97,9 @@ def normal_to_quat(directions: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     fallback = jnp.zeros_like(q).at[..., 2].set(1.0)  # 180 deg about +y
     q = jnp.where(antiparallel[..., None], fallback, q)
     return quat_normalize(q, eps)
+
+
+def quaternion_similarity(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
+    """Angle in degrees between two unit quaternions (helpers.py:133-135)."""
+    dot = jnp.clip(jnp.sum(q1 * q2, axis=-1), -1.0, 1.0)
+    return jnp.rad2deg(jnp.arccos(jnp.clip(2.0 * dot**2 - 1.0, -1.0, 1.0)))

@@ -84,6 +84,39 @@ def write_obj_with_uv(
             fh.write(rec + "\n")
 
 
+def write_obj_del_vertex(
+    path: str,
+    vertices: np.ndarray,
+    faces: Sequence[Sequence[int]],
+    uvs: np.ndarray,
+    uv_faces: Sequence[Sequence[int]],
+    del_list: Sequence[int],
+    neighbor_indices: Optional[np.ndarray] = None,
+) -> None:
+    """OBJ export with a vertex subset removed (reference helpers.py:275-298).
+
+    A vertex is only deleted if ALL its one-ring neighbors are also listed
+    (so no dangling faces); faces touching a deleted vertex are dropped and
+    the remaining vertices re-indexed. UVs are written unchanged (the
+    reference keeps the full vt list).
+    """
+    del_set = set(int(v) for v in del_list)
+    if neighbor_indices is not None:
+        del_set = {
+            v for v in del_set
+            if all(int(n) in del_set for n in neighbor_indices[v])
+        }
+    keep = [i for i in range(vertices.shape[0]) if i not in del_set]
+    remap = {old: new for new, old in enumerate(keep)}
+    new_faces, new_uv_faces = [], []
+    for face, uv_face in zip(faces, uv_faces):
+        if any(v in del_set for v in face):
+            continue
+        new_faces.append([remap[v] for v in face])
+        new_uv_faces.append(list(uv_face))
+    write_obj_with_uv(path, vertices[keep], new_faces, uvs, new_uv_faces)
+
+
 def vertex_uv_multiplicity(
     num_vertices: int,
     faces: Sequence[Sequence[int]],
