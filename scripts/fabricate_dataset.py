@@ -1,0 +1,147 @@
+"""Fabricate a tiny reference-layout dataset and (optionally) drive the CLI.
+
+Builds everything the CLI surface needs, on disk, in the reference's
+directory layout (SURVEY §2: camera.py:45-170 XML schema, train.py:58-112
+frame layout): startup OBJ + template texture, facial_regions.pkl, Agisoft
+cameras.xml (built by inverting the loader math), and per-frame GT images
+rendered from a known Gaussian scene with the tiled renderer.
+
+Usage: python scripts/fabricate_dataset.py <root_dir> [num_views] [frames]
+"""
+
+import os
+import pickle
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def fabricate(root, num_views=4, num_frames=2, rows=10, cols=10,
+              work_w=48, work_h=32, ratio=8):
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from topo4d_tpu.core.gaussian import activate_params
+    from topo4d_tpu.pipeline.data import SyntheticSequence
+    from topo4d_tpu.rasterizer.tiled import render_gaussians_tiled
+    from topo4d_tpu.testing import (
+        make_camera_ring,
+        make_grid_mesh,
+        make_synthetic_regions,
+    )
+    from topo4d_tpu.topology.obj_io import write_obj_with_uv
+
+    seq = os.path.join(root, "seq01")
+    os.makedirs(seq, exist_ok=True)
+
+    verts, faces = make_grid_mesh(rows, cols, extent=0.5)
+    n = verts.shape[0]
+    uvs = np.stack(
+        np.meshgrid(
+            np.linspace(0.05, 0.95, cols), np.linspace(0.05, 0.95, rows),
+            indexing="xy",
+        ),
+        -1,
+    ).reshape(-1, 2).astype(np.float32)
+    write_obj_with_uv(
+        os.path.join(seq, "face_v5.obj"), verts,
+        [list(f) for f in faces], uvs, [list(f) for f in faces],
+    )
+
+    # template texture: smooth gradient so sampled vertex colors vary
+    ty, tx = np.meshgrid(np.linspace(0, 1, 64), np.linspace(0, 1, 64),
+                         indexing="ij")
+    tex = np.stack([tx, ty, 0.5 * np.ones_like(tx)], -1)
+    Image.fromarray((tex * 255).astype(np.uint8)).save(
+        os.path.join(seq, "face_v5.png")
+    )
+
+    regions = make_synthetic_regions(n, faces)
+    os.makedirs(os.path.join(root, "assets"), exist_ok=True)
+    raw = {
+        "region_masks": regions.region_masks,
+        **regions.masks,
+        **regions.flat_faces,
+    }
+    with open(os.path.join(root, "assets", "facial_regions.pkl"), "wb") as fh:
+        pickle.dump(raw, fh)
+
+    # cameras.xml: invert the loader math (agisoft.py:100-153) so
+    # load_camera(resize_factor=ratio) reproduces make_camera_ring's views
+    cams = make_camera_ring(num_views, width=work_w, height=work_h,
+                            distance=2.0)
+    full_w, full_h = work_w * ratio, work_h * ratio
+    sensors, cameras = [], []
+    for i in range(num_views):
+        k = np.asarray(cams.fx)[i], np.asarray(cams.fy)[i], \
+            np.asarray(cams.cx)[i], np.asarray(cams.cy)[i]
+        fx, fy, cx, cy = (float(v) for v in k)
+        f_full = fx * ratio
+        cx_xml = cx * ratio - full_w / 2.0
+        cy_xml = cy * ratio - full_h / 2.0
+        sensors.append(
+            f'<sensor id="{i}" label="s{i}" type="frame">'
+            f'<resolution width="{full_w}" height="{full_h}"/>'
+            f'<property name="pixel_width" value="0.004"/>'
+            f'<property name="pixel_height" value="0.004"/>'
+            f"<calibration><f>{f_full}</f><cx>{cx_xml}</cx>"
+            f"<cy>{cy_xml}</cy><k1>0.0</k1><k2>0.0</k2></calibration>"
+            f"</sensor>"
+        )
+        w2c = np.asarray(cams.w2c)[i]
+        flip = np.diag([1.0, -1.0, -1.0])
+        gl = np.eye(4)
+        gl[:3, :3] = flip @ w2c[:3, :3]
+        gl[:3, 3] = flip @ w2c[:3, 3]
+        t1 = np.linalg.inv(gl)
+        t1[:3, 1:3] *= -1
+        vals = " ".join(f"{v:.12g}" for v in t1.reshape(-1))
+        cameras.append(
+            f'<camera id="{i}" sensor_id="{i}" label="view{i:02d}">'
+            f"<transform>{vals}</transform></camera>"
+        )
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n<document><chunk>'
+        f'<sensors>{"".join(sensors)}</sensors>'
+        f'<cameras>{"".join(cameras)}</cameras>'
+        "</chunk></document>"
+    )
+    with open(os.path.join(seq, "cameras.xml"), "w") as fh:
+        fh.write(xml)
+
+    # GT frames rendered from the known scene (slight wobble per frame)
+    from topo4d_tpu.testing import make_head_fixture  # noqa: F401 (doc link)
+
+    rng = np.random.default_rng(0)
+    pitch = 1.0 / max(rows, cols)
+    params = {
+        "means3D": verts.astype(np.float32),
+        "rgb_colors": rng.uniform(0.1, 0.9, (n, 3)).astype(np.float32),
+        "unnorm_rotations": np.tile(np.array([1.0, 0, 0, 0], np.float32),
+                                    (n, 1)),
+        "logit_opacities": np.full((n, 1), 6.0, np.float32),
+        "log_scales": np.full((n, 3), np.log(pitch / 2), np.float32),
+        "cam_m": np.zeros((num_views, 3), np.float32),
+        "cam_c": np.zeros((num_views, 3), np.float32),
+    }
+    src = SyntheticSequence(params=params, cameras=cams,
+                            num_frames=num_frames)
+    for t in range(1, num_frames + 1):
+        fd = src.frame(t)
+        fdir = os.path.join(seq, "%06d" % t)
+        os.makedirs(fdir, exist_ok=True)
+        for v in range(num_views):
+            im = np.clip(fd.images[v].transpose(1, 2, 0), 0, 1)
+            Image.fromarray((im * 255).astype(np.uint8)).save(
+                os.path.join(fdir, f"view{v:02d}.png")
+            )
+    print(f"fabricated dataset at {root}")
+
+
+if __name__ == "__main__":
+    root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/topo4d_fab"
+    nv = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    nf = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    fabricate(root, nv, nf)

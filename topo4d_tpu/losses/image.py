@@ -100,14 +100,21 @@ def ssim(
     Identical to the torch version: depthwise Gaussian conv with zero
     'same' padding (border bias included), c1=0.01^2, c2=0.03^2.
     """
-    mu1 = _window_conv(img1, window_size, sigma)
-    mu2 = _window_conv(img2, window_size, sigma)
+    # one batched conv over all five maps: 2 big MXU matmuls instead of 12
+    # small ones (launch/layout overhead dominates at this image size)
+    c = img1.shape[0]
+    stacked = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=0
+    )
+    conv = _window_conv(stacked, window_size, sigma)
+    mu1 = conv[0:c]
+    mu2 = conv[c : 2 * c]
     mu1_sq = mu1 * mu1
     mu2_sq = mu2 * mu2
     mu1_mu2 = mu1 * mu2
-    sigma1_sq = _window_conv(img1 * img1, window_size, sigma) - mu1_sq
-    sigma2_sq = _window_conv(img2 * img2, window_size, sigma) - mu2_sq
-    sigma12 = _window_conv(img1 * img2, window_size, sigma) - mu1_mu2
+    sigma1_sq = conv[2 * c : 3 * c] - mu1_sq
+    sigma2_sq = conv[3 * c : 4 * c] - mu2_sq
+    sigma12 = conv[4 * c : 5 * c] - mu1_mu2
     c1, c2 = 0.01**2, 0.03**2
     ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)

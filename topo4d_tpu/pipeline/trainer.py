@@ -156,18 +156,30 @@ class Trainer:
         self.dense_anchor = None
         self.texture_step = None
         self.metrics_log: List[Dict] = []
+        self._weights_cache: Dict[str, Dict[str, jnp.ndarray]] = {}
+        self._lrs_cache: Dict[str, Dict[str, jnp.ndarray]] = {}
         self._out_dir = os.path.join(
             cfg.data.output_dir, cfg.data.exp, cfg.data.seq
         )
 
     # ------------------------------------------------------------------
     def weights_for(self, phase: str) -> Dict[str, jnp.ndarray]:
-        w = self.cfg.weights.as_dict()
-        return {k: jnp.asarray(v, jnp.float32) for k, v in w.items()}
+        # cached: rebuilding ~15 device scalars per iteration is a
+        # host->device transfer storm on a tunneled TPU
+        if phase not in self._weights_cache:
+            w = self.cfg.weights.as_dict()
+            self._weights_cache[phase] = {
+                k: jnp.asarray(v, jnp.float32) for k, v in w.items()
+            }
+        return self._weights_cache[phase]
 
     def lrs_for(self, phase: str) -> Dict[str, jnp.ndarray]:
-        table = getattr(self.cfg.lrs, phase)
-        return {k: jnp.asarray(v, jnp.float32) for k, v in table.items()}
+        if phase not in self._lrs_cache:
+            table = getattr(self.cfg.lrs, phase)
+            self._lrs_cache[phase] = {
+                k: jnp.asarray(v, jnp.float32) for k, v in table.items()
+            }
+        return self._lrs_cache[phase]
 
     # ------------------------------------------------------------------
     def fit_frame_geometry(self, t: int, frame_data) -> Dict[str, float]:

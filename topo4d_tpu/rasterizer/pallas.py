@@ -36,15 +36,10 @@ def _render_pallas_impl(
     chunk: int,
     interpret: bool,
 ):
-    n = colors.shape[0]
     bins = bin_gaussians_packed(
         proj, colors, opacities, width, height, max_span=max_span, chunk=chunk
     )
     tiles_x, tiles_y = num_tiles(width, height)
-    # a tile holds each Gaussian at most once; cap the backward boundary-T
-    # scratch (beyond ~256 full windows transmittance is < 1e-4 for any
-    # non-degenerate content, so clamped windows carry zero gradient anyway)
-    max_chunks = min(-(-n // chunk) + 2, 256)
     out = pallas_blend(
         bins.packed,
         bins.tile_start,
@@ -52,7 +47,6 @@ def _render_pallas_impl(
         tiles_x,
         tiles_y,
         chunk,
-        max_chunks,
         interpret,
     )  # (T, 8, PX)
 

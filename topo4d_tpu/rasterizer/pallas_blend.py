@@ -16,14 +16,18 @@ tile-id field. Kernel techniques:
 - feature accumulation / gradient reductions are matmuls or sublane sums;
 - early termination: the window loop exits once every pixel's
   transmittance drops below 1e-4 (the CUDA per-pixel 'done' rule);
-- the backward kernel is self-contained: a forward resweep stores each
-  window's incoming transmittance, then a reverse sweep computes exact
-  gradients with a suffix carry (matching the oracle's autodiff through
-  the same math, incl. the straight-through 0.99 clamp);
+- the backward kernel runs a SINGLE reverse sweep: the forward saves its
+  early-termination window count (out row 5) and final raw transmittance
+  carry (out row 6) as residuals, and the reverse sweep reconstructs each
+  window's transmittance by division — t_excl = t_out·exp(s_excl−s_total)
+  — exactly the trick the reference CUDA backward uses per entry
+  (T /= (1−alpha), diff-gaussian-rasterization backward.cu), vectorized
+  per 128-entry window. No forward resweep, and windows past the
+  termination point (whose gradients are identically zero) are skipped;
 - backward writes ACCUMULATE read-modify-write: boundary windows shared
   between adjacent tiles chain correctly because the grid is declared
-  sequential ("arbitrary" dimension semantics); tile 0 pre-zeroes the
-  gradient buffer.
+  sequential ("arbitrary" dimension semantics); the grad buffer starts
+  zeroed via input/output aliasing.
 """
 
 from __future__ import annotations
@@ -39,6 +43,7 @@ from topo4d_tpu.core.gaussian import ALPHA_MAX, ALPHA_MIN, TRANSMITTANCE_MIN
 from topo4d_tpu.rasterizer.tiles import PACK_CHUNK, PACK_FIELDS, TILE
 
 PX = TILE * TILE  # 256 pixels per tile
+_EXP_CLAMP = 80.0  # cap for exp() args in the reverse T reconstruction
 
 
 def _pixel_coords(tile_idx, tiles_x: int):
@@ -95,7 +100,6 @@ def _fwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
     def kernel(start_ref, count_ref, packed_hbm, out_ref, buf, sem):
         step = pl.program_id(0)
         u_prefix, _ = _tri_masks(chunk)
-        num_t = pl.num_programs(0) * tiles_per_step
 
         for t_off in range(tiles_per_step):  # static unroll
             i = step * tiles_per_step + t_off
@@ -170,8 +174,16 @@ def _fwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
             def _():
                 get_dma(jax.lax.rem(c_end, 2), c_end).wait()
 
+            # rows 5/6 carry backward residuals: the number of windows the
+            # forward actually processed (early termination) and the raw
+            # final transmittance carry (reverse reconstruction seed)
+            c_end_col = jnp.broadcast_to(
+                c_end.astype(jnp.float32), (PX, 1)
+            )
             out = jnp.concatenate(
-                [acc[:, 0:4], t_fr, jnp.zeros((PX, 3), jnp.float32)], axis=1
+                [acc[:, 0:4], t_fr, c_end_col, t_un,
+                 jnp.zeros((PX, 1), jnp.float32)],
+                axis=1,
             )
             # transpose to (8, PX): a (T, PX, 8) output buffer gets its
             # minor dim padded to 128 lanes by XLA in the backward epilogue
@@ -227,12 +239,17 @@ def _tiles_per_step(num_tiles: int) -> int:
     return 1
 
 
-def _bwd_kernel(tiles_x: int, chunk: int, max_chunks: int, tiles_per_step: int):
-    """Backward: resweep (boundary T columns) + reverse RMW grad sweep."""
+def _bwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
+    """Backward: single reverse sweep with RMW grad accumulation.
+
+    Transmittance is reconstructed back-to-front from the forward's saved
+    final carry (out row 6) by window-level division, and only the windows
+    the forward actually processed (out row 5) are visited.
+    """
 
     def kernel(
-        start_ref, count_ref, packed_hbm, g_ref, zeros_hbm, dpacked_hbm,
-        buf, tb, dbuf, ebuf, sem, wsem, esem,
+        start_ref, count_ref, cend_ref, packed_hbm, g_ref, fwd_ref,
+        zeros_hbm, dpacked_hbm, buf, dbuf, ebuf, sem, wsem, esem,
     ):
         # dpacked is aliased to a zeros input, so RMW accumulation starts
         # from a defined state without an in-kernel memset
@@ -243,8 +260,9 @@ def _bwd_kernel(tiles_x: int, chunk: int, max_chunks: int, tiles_per_step: int):
         for t_off in range(tiles_per_step):  # static unroll
             _bwd_one_tile(
                 step * tiles_per_step + t_off,
-                start_ref, count_ref, packed_hbm, g_ref[t_off].T,
-                dpacked_hbm, buf, tb, dbuf, ebuf, sem, wsem, esem,
+                start_ref, count_ref, cend_ref, packed_hbm,
+                g_ref[t_off].T, fwd_ref[t_off].T,
+                dpacked_hbm, buf, dbuf, ebuf, sem, wsem, esem,
                 tiles_x, chunk, u_prefix, l_suffix,
             )
 
@@ -252,183 +270,157 @@ def _bwd_kernel(tiles_x: int, chunk: int, max_chunks: int, tiles_per_step: int):
 
 
 def _bwd_one_tile(
-    i, start_ref, count_ref, packed_hbm, g8, dpacked_hbm,
-    buf, tb, dbuf, ebuf, sem, wsem, esem, tiles_x, chunk, u_prefix, l_suffix,
+    i, start_ref, count_ref, cend_ref, packed_hbm, g8, fwd8, dpacked_hbm,
+    buf, dbuf, ebuf, sem, wsem, esem, tiles_x, chunk, u_prefix, l_suffix,
 ):
-    if True:
-        first, k = _window_bounds(start_ref[i], count_ref[i], chunk)
-        px, py = _pixel_coords(i, tiles_x)
-        tile_f = i.astype(jnp.float32)
-        # g8 (PX, 8): cols 0-3 feature grads, col 4 T_final grad
-        g_final = g8[:, 4:5]  # (PX, 1)
+    first, k = _window_bounds(start_ref[i], count_ref[i], chunk)
+    # windows past the forward's early-termination point carry zero
+    # gradient (their t_incl < TRANSMITTANCE_MIN -> keep2/live = 0)
+    k = jnp.minimum(k, cend_ref[i])
+    px, py = _pixel_coords(i, tiles_x)
+    tile_f = i.astype(jnp.float32)
+    # g8 (PX, 8): cols 0-3 feature grads, col 4 T_final grad
+    g_final = g8[:, 4:5]  # (PX, 1)
+    gt_final = g_final * fwd8[:, 4:5]  # g_T * frozen T_final
+    t_seed = fwd8[:, 6:7]  # raw final transmittance carry
 
-        def get_dma(slot, c):
-            off = pl.multiple_of((first + c) * chunk, chunk)
-            return pltpu.make_async_copy(
-                packed_hbm.at[:, pl.ds(off, chunk)],
-                buf.at[slot],
-                sem.at[slot],
-            )
+    def get_dma(slot, c):
+        off = pl.multiple_of((first + c) * chunk, chunk)
+        return pltpu.make_async_copy(
+            packed_hbm.at[:, pl.ds(off, chunk)],
+            buf.at[slot],
+            sem.at[slot],
+        )
 
-        def read_grad_dma(slot, c):
-            off = pl.multiple_of((first + c) * chunk, chunk)
-            return pltpu.make_async_copy(
-                dpacked_hbm.at[:, pl.ds(off, chunk)],
-                ebuf.at[slot],
-                esem.at[slot],
-            )
+    def read_grad_dma(slot, c):
+        off = pl.multiple_of((first + c) * chunk, chunk)
+        return pltpu.make_async_copy(
+            dpacked_hbm.at[:, pl.ds(off, chunk)],
+            ebuf.at[slot],
+            esem.at[slot],
+        )
 
-        def write_grad_dma(slot, c):
-            off = pl.multiple_of((first + c) * chunk, chunk)
-            return pltpu.make_async_copy(
-                dbuf.at[slot],
-                dpacked_hbm.at[:, pl.ds(off, chunk)],
-                wsem.at[slot],
-            )
+    def write_grad_dma(slot, c):
+        off = pl.multiple_of((first + c) * chunk, chunk)
+        return pltpu.make_async_copy(
+            dbuf.at[slot],
+            dpacked_hbm.at[:, pl.ds(off, chunk)],
+            wsem.at[slot],
+        )
 
-        # ---- forward resweep: record each window's incoming T -----------
-        @pl.when(k > 0)
+    # ---- reverse sweep with read-modify-write accumulation --------------
+    @pl.when(k > 0)
+    def _():
+        get_dma(0, k - 1).start()
+        read_grad_dma(0, k - 1).start()
+
+    def rbody(j, carry):
+        suf, t_out = carry
+        c = k - 1 - j
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < k)
         def _():
-            get_dma(0, 0).start()
+            get_dma(1 - slot, c - 1).start()
 
-        def fbody(c, carry):
-            t_un, t_fr = carry
-            slot = jax.lax.rem(c, 2)
+        get_dma(slot, c).wait()
+        data = buf[slot]
+        alpha, raw, g_exp, dx, dy = _chunk_terms(data, px, py, tile_f)
+        log1m = jnp.log1p(-alpha)
+        s_excl = jax.lax.dot(
+            log1m, u_prefix, preferred_element_type=jnp.float32
+        )
+        s_total = jnp.sum(log1m, axis=1, keepdims=True)  # (PX, 1)
+        # t_excl = t_in * exp(s_excl) with t_in = t_out / prod(1-alpha):
+        # division by the window suffix product, clamped so a fully
+        # saturated t_out==0 stays 0 instead of 0*inf
+        t_excl = t_out * jnp.exp(
+            jnp.minimum(s_excl - s_total, _EXP_CLAMP)
+        )
+        t_incl = t_excl * (1.0 - alpha)
+        keep2 = t_incl >= TRANSMITTANCE_MIN
+        w = alpha * t_excl * jnp.where(keep2, 1.0, 0.0)
 
-            @pl.when(c + 1 < k)
-            def _():
-                get_dma(1 - slot, c + 1).start()
+        feat = data[8:16, :]  # (8, chunk)
+        gfeat = jax.lax.dot(
+            g8, feat, preferred_element_type=jnp.float32
+        )  # (PX, chunk): (g . feat_e)(p)
+        q = w * gfeat
+        sufq = (
+            jax.lax.dot(q, l_suffix, preferred_element_type=jnp.float32)
+            + suf
+        )
+        live = jnp.where((alpha > 0.0) & keep2, 1.0, 0.0)
+        dalpha = live * (
+            t_excl * gfeat - (sufq + gt_final) / (1.0 - alpha)
+        )
 
-            get_dma(slot, c).wait()
-            col = jax.lax.broadcasted_iota(jnp.int32, tb.shape, 1)
-            tb[:, :] = jnp.where(col == c, t_un, tb[:, :])
-            data = buf[slot]
-            alpha, _, _, _, _ = _chunk_terms(data, px, py, tile_f)
-            log1m = jnp.log1p(-alpha)
-            s_excl = jax.lax.dot(
-                log1m, u_prefix, preferred_element_type=jnp.float32
-            )
-            t_incl_l = jnp.exp(s_excl) * (1.0 - alpha)
-            t_incl = t_un * t_incl_l
-            keep2 = t_incl >= TRANSMITTANCE_MIN
-            t_un = t_incl[:, chunk - 1 : chunk]
-            t_fr = jnp.minimum(
-                t_fr,
-                jnp.min(jnp.where(keep2, t_incl, 1.0), axis=1, keepdims=True),
-            )
-            return (t_un, t_fr)
+        dpow = dalpha * raw  # CUDA straight-through clamp semantics
+        ca = data[2:3, :]
+        cb = data[3:4, :]
+        cc = data[4:5, :]
+        dca = jnp.sum(dpow * (-0.5 * dx * dx), axis=0, keepdims=True)
+        dcb = jnp.sum(dpow * (-dx * dy), axis=0, keepdims=True)
+        dcc = jnp.sum(dpow * (-0.5 * dy * dy), axis=0, keepdims=True)
+        dxm = jnp.sum(dpow * (-(ca * dx + cb * dy)), axis=0, keepdims=True)
+        dym = jnp.sum(dpow * (-(cb * dx + cc * dy)), axis=0, keepdims=True)
+        dop = jnp.sum(dalpha * live * g_exp, axis=0, keepdims=True)
+        dfeat = jax.lax.dot_general(
+            g8,
+            w,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (8, chunk)
 
-        ones = jnp.ones((PX, 1), jnp.float32)
-        _, t_fr = jax.lax.fori_loop(0, k, fbody, (ones, ones))
+        zero = jnp.zeros((2, chunk), jnp.float32)
+        dout = jnp.concatenate(
+            [dxm, dym, dca, dcb, dcc, dop, zero, dfeat], axis=0
+        )  # (16, chunk)
 
-        gt_final = g_final * t_fr  # (PX, 1)
-
-        # ---- reverse sweep with read-modify-write accumulation ----------
-        @pl.when(k > 0)
+        # previous write on this slot must land before we reuse dbuf
+        @pl.when(j >= 2)
         def _():
-            get_dma(0, k - 1).start()
-            read_grad_dma(0, k - 1).start()
+            write_grad_dma(slot, c + 2).wait()
 
-        def rbody(j, suf):
-            c = k - 1 - j
-            slot = jax.lax.rem(j, 2)
+        read_grad_dma(slot, c).wait()
+        dbuf[slot] = ebuf[slot] + dout
 
-            @pl.when(j + 1 < k)
-            def _():
-                get_dma(1 - slot, c - 1).start()
-
-            get_dma(slot, c).wait()
-            data = buf[slot]
-            alpha, raw, g_exp, dx, dy = _chunk_terms(data, px, py, tile_f)
-            log1m = jnp.log1p(-alpha)
-            s_excl = jax.lax.dot(
-                log1m, u_prefix, preferred_element_type=jnp.float32
-            )
-            col = jax.lax.broadcasted_iota(jnp.int32, tb.shape, 1)
-            t_un = jnp.sum(
-                jnp.where(col == c, tb[:, :], 0.0), axis=1, keepdims=True
-            )
-            t_excl = t_un * jnp.exp(s_excl)
-            t_incl = t_excl * (1.0 - alpha)
-            keep2 = t_incl >= TRANSMITTANCE_MIN
-            w = alpha * t_excl * jnp.where(keep2, 1.0, 0.0)
-
-            feat = data[8:16, :]  # (8, chunk)
-            gfeat = jax.lax.dot(
-                g8, feat, preferred_element_type=jnp.float32
-            )  # (PX, chunk): (g . feat_e)(p)
-            q = w * gfeat
-            sufq = (
-                jax.lax.dot(q, l_suffix, preferred_element_type=jnp.float32)
-                + suf
-            )
-            live = jnp.where((alpha > 0.0) & keep2, 1.0, 0.0)
-            dalpha = live * (
-                t_excl * gfeat - (sufq + gt_final) / (1.0 - alpha)
-            )
-
-            dpow = dalpha * raw  # CUDA straight-through clamp semantics
-            ca = data[2:3, :]
-            cb = data[3:4, :]
-            cc = data[4:5, :]
-            dca = jnp.sum(dpow * (-0.5 * dx * dx), axis=0, keepdims=True)
-            dcb = jnp.sum(dpow * (-dx * dy), axis=0, keepdims=True)
-            dcc = jnp.sum(dpow * (-0.5 * dy * dy), axis=0, keepdims=True)
-            dxm = jnp.sum(dpow * (-(ca * dx + cb * dy)), axis=0, keepdims=True)
-            dym = jnp.sum(dpow * (-(cb * dx + cc * dy)), axis=0, keepdims=True)
-            dop = jnp.sum(dalpha * live * g_exp, axis=0, keepdims=True)
-            dfeat = jax.lax.dot_general(
-                g8,
-                w,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (8, chunk)
-
-            zero = jnp.zeros((2, chunk), jnp.float32)
-            dout = jnp.concatenate(
-                [dxm, dym, dca, dcb, dcc, dop, zero, dfeat], axis=0
-            )  # (16, chunk)
-
-            # previous write on this slot must land before we reuse dbuf
-            @pl.when(j >= 2)
-            def _():
-                write_grad_dma(slot, c + 2).wait()
-
-            read_grad_dma(slot, c).wait()
-            dbuf[slot] = ebuf[slot] + dout
-
-            @pl.when(j + 1 < k)
-            def _():
-                read_grad_dma(1 - slot, c - 1).start()
-
-            write_grad_dma(slot, c).start()
-            return suf + jnp.sum(q, axis=1, keepdims=True)
-
-        suf0 = jnp.zeros((PX, 1), jnp.float32)
-        jax.lax.fori_loop(0, k, rbody, suf0)
-
-        # drain outstanding writes
-        @pl.when(k >= 2)
+        @pl.when(j + 1 < k)
         def _():
-            write_grad_dma(jax.lax.rem(k - 2, 2), 1).wait()
+            read_grad_dma(1 - slot, c - 1).start()
 
-        @pl.when(k >= 1)
-        def _():
-            write_grad_dma(jax.lax.rem(k - 1, 2), 0).wait()
+        write_grad_dma(slot, c).start()
+        # carry the reconstructed incoming transmittance to the previous
+        # window (clamped: a saturated 0 carry stays 0)
+        t_in = t_out * jnp.exp(jnp.minimum(-s_total, _EXP_CLAMP))
+        return (suf + jnp.sum(q, axis=1, keepdims=True), t_in)
+
+    suf0 = jnp.zeros((PX, 1), jnp.float32)
+    jax.lax.fori_loop(0, k, rbody, (suf0, t_seed))
+
+    # drain outstanding writes
+    @pl.when(k >= 2)
+    def _():
+        write_grad_dma(jax.lax.rem(k - 2, 2), 1).wait()
+
+    @pl.when(k >= 1)
+    def _():
+        write_grad_dma(jax.lax.rem(k - 1, 2), 0).wait()
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tiles_x", "tiles_y", "chunk", "max_chunks", "interpret"),
+    static_argnames=("tiles_x", "tiles_y", "chunk", "interpret"),
 )
 def _blend_bwd_impl(
-    packed, tile_start, tile_count, g_out, tiles_x, tiles_y, chunk, max_chunks,
+    packed, tile_start, tile_count, fwd_out, g_out, tiles_x, tiles_y, chunk,
     interpret=False,
 ):
     t = tiles_x * tiles_y
     e_pad = packed.shape[1]
     tps = _tiles_per_step(t)
     pad_t = -(-t // tps) * tps
+    cend = fwd_out[:, 5, 0].astype(jnp.int32)  # forward residual row 5
     if pad_t != t:
         tile_start = jnp.concatenate(
             [tile_start, jnp.zeros(pad_t - t, jnp.int32)]
@@ -436,14 +428,21 @@ def _blend_bwd_impl(
         tile_count = jnp.concatenate(
             [tile_count, jnp.zeros(pad_t - t, jnp.int32)]
         )
+        cend = jnp.concatenate([cend, jnp.zeros(pad_t - t, jnp.int32)])
         g_out = jnp.concatenate(
             [g_out, jnp.zeros((pad_t - t, 8, PX), g_out.dtype)]
         )
+        fwd_out = jnp.concatenate(
+            [fwd_out, jnp.zeros((pad_t - t, 8, PX), fwd_out.dtype)]
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(pad_t // tps,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (tps, 8, PX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(
                 (tps, 8, PX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
@@ -452,7 +451,6 @@ def _blend_bwd_impl(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, PACK_FIELDS, chunk), jnp.float32),  # entry reads
-            pltpu.VMEM((PX, max_chunks), jnp.float32),  # boundary T columns
             pltpu.VMEM((2, PACK_FIELDS, chunk), jnp.float32),  # grad writes
             pltpu.VMEM((2, PACK_FIELDS, chunk), jnp.float32),  # grad reads
             pltpu.SemaphoreType.DMA((2,)),
@@ -462,27 +460,27 @@ def _blend_bwd_impl(
     )
     zeros = jnp.zeros((PACK_FIELDS, e_pad), jnp.float32)
     return pl.pallas_call(
-        _bwd_kernel(tiles_x, chunk, max_chunks, tps),
+        _bwd_kernel(tiles_x, chunk, tps),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((PACK_FIELDS, e_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             dimension_semantics=("arbitrary",),  # RMW chains need sequential
         ),
-        input_output_aliases={4: 0},  # zeros input (after 2 scalar args)
+        input_output_aliases={6: 0},  # zeros input (after 3 scalar args)
         interpret=interpret,
-    )(tile_start, tile_count, packed, g_out, zeros)
+    )(tile_start, tile_count, cend, packed, g_out, fwd_out, zeros)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def pallas_blend(
-    packed, tile_start, tile_count, tiles_x, tiles_y, chunk, max_chunks,
-    interpret=False,
+    packed, tile_start, tile_count, tiles_x, tiles_y, chunk, interpret=False
 ):
     """Blend depth-sorted packed entries -> (T, 8, PX) tile buffers.
 
     Rows 0-3: alpha-blended (r, g, b, depth); row 4: final (frozen)
-    transmittance T_final; rows 5-7: zero. Background compositing and
+    transmittance T_final; rows 5/6: backward residuals (window count,
+    raw T carry); row 7: zero. Background compositing and
     alpha = 1 - T_final happen in XLA outside. Layout note: the minor dim
     must be PX (=256), not 8 — XLA pads small minor dims to 128 lanes.
     """
@@ -492,20 +490,19 @@ def pallas_blend(
 
 
 def _pallas_blend_fwd(
-    packed, tile_start, tile_count, tiles_x, tiles_y, chunk, max_chunks,
-    interpret=False,
+    packed, tile_start, tile_count, tiles_x, tiles_y, chunk, interpret=False
 ):
     out = _blend_fwd_impl(
         packed, tile_start, tile_count, tiles_x, tiles_y, chunk, interpret
     )
-    return out, (packed, tile_start, tile_count)
+    return out, (packed, tile_start, tile_count, out)
 
 
-def _pallas_blend_bwd(tiles_x, tiles_y, chunk, max_chunks, interpret, res, g_out):
-    packed, tile_start, tile_count = res
+def _pallas_blend_bwd(tiles_x, tiles_y, chunk, interpret, res, g_out):
+    packed, tile_start, tile_count, fwd_out = res
     dpacked = _blend_bwd_impl(
-        packed, tile_start, tile_count, g_out, tiles_x, tiles_y, chunk,
-        max_chunks, interpret,
+        packed, tile_start, tile_count, fwd_out, g_out, tiles_x, tiles_y,
+        chunk, interpret,
     )
     return (dpacked, None, None)
 
