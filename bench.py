@@ -83,14 +83,23 @@ def _bench_full_step() -> float:
         state, gt, cams, vid, priors, cons, lr, weights, "track"
     )
     jax.block_until_ready(m["loss_total"])
-    iters = 50
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, priors, m = trainer.step(
-            state, gt, cams, vid, priors, cons, lr, weights, "track"
-        )
-    jax.block_until_ready(m["loss_total"])
-    return (time.perf_counter() - t0) / iters
+
+    # two-point fit: the tunnel charges a fixed ~30-40 ms per sync batch;
+    # the marginal per-call cost is the true device step time (what a
+    # 1100-iteration frame actually pays per step)
+    def run(iters):
+        nonlocal state, priors
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, priors, m = trainer.step(
+                state, gt, cams, vid, priors, cons, lr, weights, "track"
+            )
+        jax.block_until_ready(m["loss_total"])
+        return time.perf_counter() - t0
+
+    t1 = run(25)
+    t2 = run(225)
+    return (t2 - t1) / 200.0
 
 
 def main() -> None:
@@ -125,13 +134,17 @@ def main() -> None:
     val, grads = vg(params, gt)
     jax.block_until_ready(grads)
 
-    iters = 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        val, grads = vg(params, gt)
-    jax.block_until_ready(grads)
-    dt = time.perf_counter() - t0
-    step_s = dt / iters
+    def run(iters):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            val, grads = vg(params, gt)
+        jax.block_until_ready(grads)
+        return time.perf_counter() - t0
+
+    # two-point fit strips the tunnel's fixed per-sync cost (~30-40 ms)
+    t1 = run(25)
+    t2 = run(225)
+    step_s = (t2 - t1) / 200.0
     mpix_s = h * w / step_s / 1e6
 
     # full tracking step at reference scale (all losses + Adam + scatters)

@@ -56,6 +56,23 @@ def _pixel_coords(tile_idx, tiles_x: int):
     return px, py
 
 
+def _moment_basis():
+    """(PX, 8) tile-LOCAL pixel moment basis [1, px, py, px^2, px*py, py^2, 0, 0].
+
+    One MXU matmul P^T @ dpow turns the five per-pixel gradient reductions
+    of the blend backward into (1, chunk) row combinations. Local (0..15)
+    coordinates keep the expansion's cancellation error ~1e-4 relative.
+    """
+    row = jax.lax.broadcasted_iota(jnp.int32, (PX, 1), 0)
+    px = (row % TILE).astype(jnp.float32)
+    py = (row // TILE).astype(jnp.float32)
+    one = jnp.ones((PX, 1), jnp.float32)
+    zero = jnp.zeros((PX, 1), jnp.float32)
+    return jnp.concatenate(
+        [one, px, py, px * px, px * py, py * py, zero, zero], axis=1
+    )
+
+
 def _tri_masks(chunk: int):
     """(right-mult) masks: excl-prefix U[j,i]=j<i, suffix L[j,i]=j>i."""
     row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
@@ -256,6 +273,7 @@ def _bwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
         del zeros_hbm
         step = pl.program_id(0)
         u_prefix, l_suffix = _tri_masks(chunk)
+        basis = _moment_basis()
 
         for t_off in range(tiles_per_step):  # static unroll
             _bwd_one_tile(
@@ -263,7 +281,7 @@ def _bwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
                 start_ref, count_ref, cend_ref, packed_hbm,
                 g_ref[t_off].T, fwd_ref[t_off].T,
                 dpacked_hbm, buf, dbuf, ebuf, sem, wsem, esem,
-                tiles_x, chunk, u_prefix, l_suffix,
+                tiles_x, chunk, u_prefix, l_suffix, basis,
             )
 
     return kernel
@@ -272,6 +290,7 @@ def _bwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
 def _bwd_one_tile(
     i, start_ref, count_ref, cend_ref, packed_hbm, g8, fwd8, dpacked_hbm,
     buf, dbuf, ebuf, sem, wsem, esem, tiles_x, chunk, u_prefix, l_suffix,
+    basis,
 ):
     first, k = _window_bounds(start_ref[i], count_ref[i], chunk)
     # windows past the forward's early-termination point carry zero
@@ -279,6 +298,9 @@ def _bwd_one_tile(
     k = jnp.minimum(k, cend_ref[i])
     px, py = _pixel_coords(i, tiles_x)
     tile_f = i.astype(jnp.float32)
+    # tile-origin for the local-coordinate moment expansion
+    ox = ((i % tiles_x) * TILE).astype(jnp.float32)
+    oy = ((i // tiles_x) * TILE).astype(jnp.float32)
     # g8 (PX, 8): cols 0-3 feature grads, col 4 T_final grad
     g_final = g8[:, 4:5]  # (PX, 1)
     gt_final = g_final * fwd8[:, 4:5]  # g_T * frozen T_final
@@ -359,12 +381,32 @@ def _bwd_one_tile(
         ca = data[2:3, :]
         cb = data[3:4, :]
         cc = data[4:5, :]
-        dca = jnp.sum(dpow * (-0.5 * dx * dx), axis=0, keepdims=True)
-        dcb = jnp.sum(dpow * (-dx * dy), axis=0, keepdims=True)
-        dcc = jnp.sum(dpow * (-0.5 * dy * dy), axis=0, keepdims=True)
-        dxm = jnp.sum(dpow * (-(ca * dx + cb * dy)), axis=0, keepdims=True)
-        dym = jnp.sum(dpow * (-(cb * dx + cc * dy)), axis=0, keepdims=True)
-        dop = jnp.sum(dalpha * live * g_exp, axis=0, keepdims=True)
+        # pixel moments of dpow: ONE MXU matmul replaces the five
+        # (PX, chunk) multiply+reduce pairs; Σ dpow·f(dx,dy) for any
+        # quadratic f becomes a (1, chunk) combination of the moments
+        # (tile-local coordinates bound the expansion's cancellation)
+        m = jax.lax.dot_general(
+            basis, dpow,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (8, chunk): [Σ, Σpx, Σpy, Σpx², Σpxpy, Σpy²]·dpow
+        m0 = m[0:1, :]
+        mx = m[1:2, :]
+        my = m[2:3, :]
+        mxx = m[3:4, :]
+        mxy = m[4:5, :]
+        myy = m[5:6, :]
+        xl = data[0:1, :] - ox
+        yl = data[1:2, :] - oy
+        gx = xl * m0 - mx  # Σ dpow·dx
+        gy = yl * m0 - my  # Σ dpow·dy
+        dca = -0.5 * (xl * xl * m0 - 2.0 * xl * mx + mxx)
+        dcb = -(xl * yl * m0 - xl * my - yl * mx + mxy)
+        dcc = -0.5 * (yl * yl * m0 - 2.0 * yl * my + myy)
+        dxm = -(ca * gx + cb * gy)
+        dym = -(cb * gx + cc * gy)
+        # dpow = dalpha·op·g_exp  =>  Σ dalpha·g_exp = m0 / op
+        dop = m0 / jnp.maximum(data[5:6, :], 1e-30)
         dfeat = jax.lax.dot_general(
             g8,
             w,
