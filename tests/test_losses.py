@@ -194,7 +194,7 @@ def test_temporal_losses_zero_for_rigid_motion():
     pts = rng.normal(size=(n, 3)).astype(np.float32)
     nbr = rng.integers(0, n, (n, k)).astype(np.int32)
     rot0 = quat_normalize(jnp.asarray(np.tile([1.0, 0, 0, 0], (n, 1)).astype(np.float32)))
-    priors = make_temporal_priors(jnp.asarray(pts), rot0, jnp.asarray(nbr))
+    priors = make_temporal_priors(jnp.asarray(pts), rot0, jnp.asarray(nbr.T))
 
     # apply a global rigid motion: rotation R + translation
     angle = 0.3
@@ -205,10 +205,10 @@ def test_temporal_losses_zero_for_rigid_motion():
     rot2 = quat_normalize(jnp.asarray(np.tile(q, (n, 1))))
 
     dist = np.linalg.norm(pts[nbr] - pts[:, None], axis=-1)
-    w = jnp.ones((n, k))
+    w = jnp.ones((k, n))
     losses = rigid_rot_iso_losses(
-        jnp.asarray(pts2), rot2, priors, jnp.asarray(nbr),
-        jnp.asarray(dist), w, w, w,
+        jnp.asarray(pts2), rot2, priors, jnp.asarray(nbr.T),
+        jnp.asarray(dist.T), w, w, w,
     )
     # all three are sqrt(eps)-floored means: 1e-10 per element
     for name, val in losses.items():
@@ -221,13 +221,13 @@ def test_temporal_losses_detect_nonrigid_motion():
     pts = rng.normal(size=(n, 3)).astype(np.float32)
     nbr = rng.integers(0, n, (n, k)).astype(np.int32)
     rot0 = quat_normalize(jnp.asarray(np.tile([1.0, 0, 0, 0], (n, 1)).astype(np.float32)))
-    priors = make_temporal_priors(jnp.asarray(pts), rot0, jnp.asarray(nbr))
+    priors = make_temporal_priors(jnp.asarray(pts), rot0, jnp.asarray(nbr.T))
     pts2 = pts * np.array([1.5, 1.0, 0.7], np.float32)  # non-rigid stretch
     dist = np.linalg.norm(pts[nbr] - pts[:, None], axis=-1)
-    w = jnp.ones((n, k))
+    w = jnp.ones((k, n))
     losses = rigid_rot_iso_losses(
-        jnp.asarray(pts2), rot0, priors, jnp.asarray(nbr),
-        jnp.asarray(dist), w, w, w,
+        jnp.asarray(pts2), rot0, priors, jnp.asarray(nbr.T),
+        jnp.asarray(dist.T), w, w, w,
     )
     assert float(losses["rigid"]) > 1e-2
     assert float(losses["iso"]) > 1e-2

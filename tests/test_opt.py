@@ -89,16 +89,16 @@ def test_single_frame_fit_improves_psnr():
 
     step = make_geometry_step({}, {}, render_gaussians)
 
-    nbr = np.tile(np.arange(4), (n, 1)).astype(np.int32)
+    nbr = np.tile(np.arange(4)[:, None], (1, n)).astype(np.int32)  # (K, N)
     priors = GeometryPriors(
         neighbor_indices=jnp.asarray(nbr),
-        neighbor_dist=jnp.zeros((n, 4)),
-        iso_w=jnp.zeros((n, 4)),
-        rig_w=jnp.zeros((n, 4)),
-        rot_w=jnp.zeros((n, 4)),
+        neighbor_dist=jnp.zeros((4, n)),
+        iso_w=jnp.zeros((4, n)),
+        rig_w=jnp.zeros((4, n)),
+        rot_w=jnp.zeros((4, n)),
         init_scale=jnp.exp(params_true["log_scales"][:, 0]),
         temporal=TemporalPriors(
-            prev_inv_rot=jnp.zeros((n, 4)), prev_offset=jnp.zeros((n, 4, 3))
+            prev_inv_rot=jnp.zeros((4, n)), prev_offset=jnp.zeros((3, 4, n))
         ),
         cos_init=jnp.zeros(0),
     )
@@ -165,7 +165,7 @@ def test_track_phase_with_all_losses_runs():
 
     rot_n = quat_normalize(params["unnorm_rotations"])
     temporal = make_temporal_priors(
-        params["means3D"], rot_n, jnp.asarray(ring.indices)
+        params["means3D"], rot_n, jnp.asarray(ring.indices.T)
     )
     from topo4d_tpu.losses.flatten import build_fused_flatten
     from topo4d_tpu.opt.step import HARD_FLATTEN_KEYS, SOFT_FLATTEN_KEYS
@@ -177,11 +177,11 @@ def test_track_phase_with_all_losses_runs():
     fused = build_fused_flatten(quadruples, HARD_FLATTEN_KEYS, SOFT_FLATTEN_KEYS)
     cos_fused = dihedral_cos(params["means3D"], fused.quads)[fused.num_hard:]
     priors = GeometryPriors(
-        neighbor_indices=jnp.asarray(ring.indices),
-        neighbor_dist=jnp.asarray(ring.dist),
-        iso_w=jnp.asarray(ring.weight),
-        rig_w=jnp.asarray(ring.weight),
-        rot_w=jnp.asarray(ring.weight),
+        neighbor_indices=jnp.asarray(ring.indices.T),
+        neighbor_dist=jnp.asarray(ring.dist.T),
+        iso_w=jnp.asarray(ring.weight.T),
+        rig_w=jnp.asarray(ring.weight.T),
+        rot_w=jnp.asarray(ring.weight.T),
         init_scale=jnp.full((n,), 0.02),
         temporal=temporal,
         cos_init=cos_fused,

@@ -25,14 +25,14 @@ def small_setup(v=8, w=48, h=32):
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.uniform(0, 1, (v, 3, h, w)).astype(np.float32))
     priors = GeometryPriors(
-        neighbor_indices=jnp.zeros((n, 4), jnp.int32),
-        neighbor_dist=jnp.zeros((n, 4)),
-        iso_w=jnp.zeros((n, 4)),
-        rig_w=jnp.zeros((n, 4)),
-        rot_w=jnp.zeros((n, 4)),
+        neighbor_indices=jnp.zeros((4, n), jnp.int32),
+        neighbor_dist=jnp.zeros((4, n)),
+        iso_w=jnp.zeros((4, n)),
+        rig_w=jnp.zeros((4, n)),
+        rot_w=jnp.zeros((4, n)),
         init_scale=jnp.full((n,), 0.05),
         temporal=TemporalPriors(
-            prev_inv_rot=jnp.zeros((n, 4)), prev_offset=jnp.zeros((n, 4, 3))
+            prev_inv_rot=jnp.zeros((4, n)), prev_offset=jnp.zeros((3, 4, n))
         ),
         cos_init=jnp.zeros(0),
     )

@@ -76,83 +76,118 @@ def project_gaussians(
     (helpers.py:98): an all-zero (N, 2) input added to the projected pixel
     centers so its cotangent carries the screen-space positional gradient
     used for densification statistics (reference external.py:119-123).
-    """
-    means3d = rv.means3d
-    n = means3d.shape[0]
 
-    # View-space positions and near cull.
-    rot_w2c = cam.w2c[..., :3, :3]
-    t_view = means3d @ rot_w2c.T + cam.w2c[..., :3, 3]
-    depths = t_view[..., 2]
+    All math runs in COMPONENT form — (N,) vectors per coordinate — since
+    (N, 3)/(N, 2, 3)/(N, 3, 3) intermediates pad their minor dims to 128
+    lanes on TPU (~42x op cost; see losses.temporal module docstring).
+    The math is identical to the batched-matrix formulation
+    (forward.cu computeCov2D semantics).
+    """
+    xt = rv.means3d.T  # (3, N)
+    x, y, z3 = xt[0], xt[1], xt[2]
+
+    # View-space positions and near cull: t = W p + t.
+    w2c = cam.w2c
+    tvx = w2c[0, 0] * x + w2c[0, 1] * y + w2c[0, 2] * z3 + w2c[0, 3]
+    tvy = w2c[1, 0] * x + w2c[1, 1] * y + w2c[1, 2] * z3 + w2c[1, 3]
+    tvz = w2c[2, 0] * x + w2c[2, 1] * y + w2c[2, 2] * z3 + w2c[2, 3]
+    depths = tvz
     visible = depths > NEAR_CULL_Z
 
     # Clip-space projection -> pixel centers: p_hom = proj @ [p; 1].
     proj = full_projection_matrix(cam)
-    ones = jnp.ones((n, 1), means3d.dtype)
-    p4 = jnp.concatenate([means3d, ones], axis=-1)
-    p_hom = p4 @ proj.T
-    inv_w = 1.0 / (p_hom[..., 3] + 1e-7)
-    ndc = p_hom[..., :3] * inv_w[..., None]
-    means2d = jnp.stack(
-        [
-            ndc_to_pixel(ndc[..., 0], cam.width),
-            ndc_to_pixel(ndc[..., 1], cam.height),
-        ],
-        axis=-1,
-    )
+    ph0 = proj[0, 0] * x + proj[0, 1] * y + proj[0, 2] * z3 + proj[0, 3]
+    ph1 = proj[1, 0] * x + proj[1, 1] * y + proj[1, 2] * z3 + proj[1, 3]
+    ph3 = proj[3, 0] * x + proj[3, 1] * y + proj[3, 2] * z3 + proj[3, 3]
+    inv_w = 1.0 / (ph3 + 1e-7)
+    m2x = ndc_to_pixel(ph0 * inv_w, cam.width)
+    m2y = ndc_to_pixel(ph1 * inv_w, cam.height)
     if means2d_offset is not None:
-        means2d = means2d + means2d_offset
+        m2x = m2x + means2d_offset[:, 0]
+        m2y = m2y + means2d_offset[:, 1]
 
-    # EWA: 2D covariance = J W Sigma W^T J^T with fov-clamped view coords
-    # (forward.cu computeCov2D semantics).
+    # EWA: 2D covariance = J W Sigma W^T J^T with fov-clamped view coords.
     safe_z = jnp.where(visible, depths, 1.0)
     limx = 1.3 * cam.tan_fovx
     limy = 1.3 * cam.tan_fovy
-    txtz = jnp.clip(t_view[..., 0] / safe_z, -limx, limx)
-    tytz = jnp.clip(t_view[..., 1] / safe_z, -limy, limy)
-    tx = txtz * safe_z
-    ty = tytz * safe_z
+    tx = jnp.clip(tvx / safe_z, -limx, limx) * safe_z
+    ty = jnp.clip(tvy / safe_z, -limy, limy) * safe_z
 
-    cov3d = build_cov3d(rv.rotations, rv.scales)
-    zero = jnp.zeros_like(tx)
-    j = jnp.stack(
-        [
-            jnp.stack([cam.fx / safe_z, zero, -cam.fx * tx / (safe_z * safe_z)], -1),
-            jnp.stack([zero, cam.fy / safe_z, -cam.fy * ty / (safe_z * safe_z)], -1),
-        ],
-        axis=-2,
-    )  # (N, 2, 3)
-    jw = j @ rot_w2c  # (N, 2, 3)
-    cov2d = jw @ cov3d @ jnp.swapaxes(jw, -1, -2)  # (N, 2, 2)
-    cov_a = cov2d[..., 0, 0] + COV2D_DILATION
-    cov_b = cov2d[..., 0, 1]
-    cov_c = cov2d[..., 1, 1] + COV2D_DILATION
+    # 3D covariance entries from normalized quaternion + scales:
+    # Sigma = (R S)(R S)^T, computed per component.
+    qt = rv.rotations.T  # (4, N)
+    qn = jnp.sqrt(qt[0] ** 2 + qt[1] ** 2 + qt[2] ** 2 + qt[3] ** 2)
+    r, qx, qy, qz = qt[0] / qn, qt[1] / qn, qt[2] / qn, qt[3] / qn
+    st = rv.scales.T  # (3, N)
+    s0, s1, s2 = st[0], st[1], st[2]
+    r00 = 1 - 2 * (qy * qy + qz * qz)
+    r01 = 2 * (qx * qy - r * qz)
+    r02 = 2 * (qx * qz + r * qy)
+    r10 = 2 * (qx * qy + r * qz)
+    r11 = 1 - 2 * (qx * qx + qz * qz)
+    r12 = 2 * (qy * qz - r * qx)
+    r20 = 2 * (qx * qz - r * qy)
+    r21 = 2 * (qy * qz + r * qx)
+    r22 = 1 - 2 * (qx * qx + qy * qy)
+    m00, m01, m02 = r00 * s0, r01 * s1, r02 * s2
+    m10, m11, m12 = r10 * s0, r11 * s1, r12 * s2
+    m20, m21, m22 = r20 * s0, r21 * s1, r22 * s2
+    c00 = m00 * m00 + m01 * m01 + m02 * m02
+    c01 = m00 * m10 + m01 * m11 + m02 * m12
+    c02 = m00 * m20 + m01 * m21 + m02 * m22
+    c11 = m10 * m10 + m11 * m11 + m12 * m12
+    c12 = m10 * m20 + m11 * m21 + m12 * m22
+    c22 = m20 * m20 + m21 * m21 + m22 * m22
+
+    # J rows (j00, j02) / (j11, j12), then JW = J @ rot_w2c.
+    izz = 1.0 / (safe_z * safe_z)
+    j00 = cam.fx / safe_z
+    j02 = -cam.fx * tx * izz
+    j11 = cam.fy / safe_z
+    j12 = -cam.fy * ty * izz
+    a0 = j00 * w2c[0, 0] + j02 * w2c[2, 0]
+    a1 = j00 * w2c[0, 1] + j02 * w2c[2, 1]
+    a2 = j00 * w2c[0, 2] + j02 * w2c[2, 2]
+    b0 = j11 * w2c[1, 0] + j12 * w2c[2, 0]
+    b1 = j11 * w2c[1, 1] + j12 * w2c[2, 1]
+    b2 = j11 * w2c[1, 2] + j12 * w2c[2, 2]
+    # u = Sigma a, v = Sigma b (symmetric Sigma)
+    u0 = c00 * a0 + c01 * a1 + c02 * a2
+    u1 = c01 * a0 + c11 * a1 + c12 * a2
+    u2 = c02 * a0 + c12 * a1 + c22 * a2
+    v0 = c00 * b0 + c01 * b1 + c02 * b2
+    v1 = c01 * b0 + c11 * b1 + c12 * b2
+    v2 = c02 * b0 + c12 * b1 + c22 * b2
+    cov_a = a0 * u0 + a1 * u1 + a2 * u2 + COV2D_DILATION
+    cov_b = a0 * v0 + a1 * v1 + a2 * v2
+    cov_c = b0 * v0 + b1 * v1 + b2 * v2
 
     det = cov_a * cov_c - cov_b * cov_b
     visible = visible & (det != 0.0)
     safe_det = jnp.where(det != 0.0, det, 1.0)
     inv_det = 1.0 / safe_det
-    conics = jnp.stack([cov_c * inv_det, -cov_b * inv_det, cov_a * inv_det], axis=-1)
 
     # 3-sigma extent from the max eigenvalue (forward.cu radius rule).
     mid = 0.5 * (cov_a + cov_c)
     lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius_f = jnp.ceil(3.0 * jnp.sqrt(lambda1))
 
-    # Cull Gaussians whose 3-sigma box misses the image entirely
-    # (forward.cu computes a tile rect and drops empty rects).
-    x0 = means2d[..., 0] - radius_f
-    x1 = means2d[..., 0] + radius_f
-    y0 = means2d[..., 1] - radius_f
-    y1 = means2d[..., 1] + radius_f
-    on_image = (x1 >= 0) & (x0 < cam.width) & (y1 >= 0) & (y0 < cam.height)
+    # Cull Gaussians whose 3-sigma box misses the image entirely.
+    on_image = (
+        (m2x + radius_f >= 0)
+        & (m2x - radius_f < cam.width)
+        & (m2y + radius_f >= 0)
+        & (m2y - radius_f < cam.height)
+    )
     visible = visible & on_image
 
     radii = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
     return Projected(
-        means2d=means2d,
+        means2d=jnp.stack([m2x, m2y], axis=-1),
         depths=depths,
-        conics=conics,
+        conics=jnp.stack(
+            [cov_c * inv_det, -cov_b * inv_det, cov_a * inv_det], axis=-1
+        ),
         radii=radii,
         mask=visible,
     )

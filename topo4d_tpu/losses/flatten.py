@@ -98,30 +98,45 @@ def dihedral_cos(
 
     The double-projection formulation of loss_util.py:171-208: project the
     two opposite vertices onto the plane orthogonal to the shared edge and
-    take the cosine between the residuals.
+    take the cosine between the residuals. Computed in COMPONENT form —
+    flat (E,) vectors per xyz component — because (E, 3) intermediates pad
+    their minor dim to 128 lanes on TPU (~42x op cost; see losses.temporal
+    module docstring).
     """
-    v0 = vertices[jnp.asarray(quads.v0)]
-    v1 = vertices[jnp.asarray(quads.v1)]
-    v2 = vertices[jnp.asarray(quads.v2)]
-    v3 = vertices[jnp.asarray(quads.v3)]
+    # ONE row gather for all four corners (fast along sublanes; a
+    # per-component lane gather is ~10x slower — losses.temporal note),
+    # 128-padded so the four lane slices stay aligned
+    e = int(np.asarray(quads.v0).shape[0])
+    ep = -(-max(e, 1) // 128) * 128
+    idx = np.zeros(4 * ep, np.int32)
+    for j, f in enumerate((quads.v0, quads.v1, quads.v2, quads.v3)):
+        idx[j * ep : j * ep + e] = np.asarray(f)
+    g = vertices[jnp.asarray(idx)].T  # (3, 4*Ep)
+    v0 = g[:, 0:ep]
+    v1 = g[:, ep : 2 * ep]
+    v2 = g[:, 2 * ep : 3 * ep]
+    v3 = g[:, 3 * ep : 4 * ep]
+    a = [v1[c] - v0[c] for c in range(3)]
+    b1 = [v2[c] - v0[c] for c in range(3)]
+    b2 = [v3[c] - v0[c] for c in range(3)]
 
     def residual(a, b):
-        al2 = jnp.sum(a * a, axis=-1)
-        bl2 = jnp.sum(b * b, axis=-1)
+        al2 = a[0] * a[0] + a[1] * a[1] + a[2] * a[2]
+        bl2 = b[0] * b[0] + b[1] * b[1] + b[2] * b[2]
         al1 = jnp.sqrt(al2 + eps)
         bl1 = jnp.sqrt(bl2 + eps)
-        ab = jnp.sum(a * b, axis=-1)
+        ab = a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
         cos = ab / (al1 * bl1 + eps)
         sin = jnp.sqrt(1 - cos**2 + eps)
-        c = a * (ab / (al2 + eps))[..., None]
-        cb = b - c
+        s = ab / (al2 + eps)
+        cb = [b[c] - a[c] * s for c in range(3)]
         cbl1 = bl1 * sin
         return cb, cbl1
 
-    a = v1 - v0
-    cb1, cb1l1 = residual(a, v2 - v0)
-    cb2, cb2l1 = residual(a, v3 - v0)
-    return jnp.sum(cb1 * cb2, axis=-1) / (cb1l1 * cb2l1 + eps)
+    cb1, cb1l1 = residual(a, b1)
+    cb2, cb2l1 = residual(a, b2)
+    dot = cb1[0] * cb2[0] + cb1[1] * cb2[1] + cb1[2] * cb2[2]
+    return (dot / (cb1l1 * cb2l1 + eps))[:e]
 
 
 def flatten_loss(
@@ -236,12 +251,20 @@ def fused_flatten_loss(
     """
     cos = dihedral_cos(vertices, fused.quads, eps)
     nh = fused.num_hard
+
+    def segment_weights(names, segment):
+        # per-entry weight via compare-select — a tiny-table lane gather
+        # (table[segment]) serializes on TPU
+        seg = jnp.asarray(segment)
+        w = jnp.zeros(seg.shape, jnp.float32)
+        for i, k in enumerate(names):
+            w = jnp.where(seg == i, weights[k], w)
+        return w
+
     hard_cos = jnp.where(cos[:nh] > 1.0, -1.0, cos[:nh])  # threshold 0 deg
     hard_vals = (hard_cos + 1.0) ** 2
     hard_w = (
-        jnp.stack([weights[k] for k in fused.hard_sets])[
-            jnp.asarray(fused.hard_segment)
-        ]
+        segment_weights(fused.hard_sets, fused.hard_segment)
         if fused.hard_sets
         else jnp.zeros(0)
     )
@@ -257,9 +280,7 @@ def fused_flatten_loss(
             )
         )
     soft_w = (
-        jnp.stack([weights[k] for k in fused.soft_sets])[
-            jnp.asarray(fused.soft_segment)
-        ]
+        segment_weights(fused.soft_sets, fused.soft_segment)
         if fused.soft_sets
         else jnp.zeros(0)
     )
@@ -305,13 +326,22 @@ def fused_umbrella_loss(
     fused: FusedUmbrella,
     weights: "dict[str, jnp.ndarray]",
 ) -> jnp.ndarray:
-    nbr = vertices[jnp.asarray(fused.neighbor_indices)]
-    nbr = nbr * jnp.asarray(fused.neighbor_mask)[..., None]
-    ave = jnp.sum(nbr, axis=1) / jnp.asarray(fused.neighbor_num)[:, None]
-    sq = jnp.sum((ave - vertices) ** 2, axis=-1)  # (N,)
+    # row gather + transposed (K, N) component math (TPU layout rule)
+    from topo4d_tpu.losses.temporal import _gather_rows_t
+
+    xt = vertices.T  # (3, N)
+    idx = jnp.asarray(fused.neighbor_indices).T  # (K, N)
+    msk = jnp.asarray(fused.neighbor_mask).T  # (K, N)
+    num = jnp.asarray(fused.neighbor_num)  # (N,)
+    nb = _gather_rows_t(vertices, idx)  # (3, K, N)
+    sq = jnp.zeros_like(num)
+    for c in range(3):
+        ave = jnp.sum(nb[c] * msk, axis=0) / num
+        d = ave - xt[c]
+        sq = sq + d * d
     w = jnp.stack([weights[k] for k in fused.set_names])  # (S,)
-    c = jnp.einsum("s,sn->n", w, jnp.asarray(fused.coeff))
-    return jnp.sum(c * sq)
+    cf = jnp.einsum("s,sn->n", w, jnp.asarray(fused.coeff))
+    return jnp.sum(cf * sq)
 
 
 class UmbrellaFlatten(NamedTuple):

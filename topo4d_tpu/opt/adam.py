@@ -68,17 +68,19 @@ def adam_update(
     mu = b1 * flat(state.mu) + (1.0 - b1) * g
     nu = b2 * flat(state.nu) + (1.0 - b2) * (g * g)
 
-    seg = []
+    # two flat (P,) segment vectors — a (P, 2) stack pads its minor dim to
+    # 128 lanes on TPU (~64x op cost; see losses.temporal layout note)
+    seg_a, seg_b = [], []
     for k, sz in zip(keys, sizes):
         t = (state.step[k] + 1).astype(p.dtype)
         scale = lr[k] / (1.0 - b1**t)
         denom_corr = 1.0 / (1.0 - b2**t)
-        seg.append(
-            jnp.stack([jnp.asarray(scale, p.dtype), jnp.asarray(denom_corr, p.dtype)])
-            * jnp.ones((sz, 1), p.dtype)
-        )
-    segv = jnp.concatenate(seg, axis=0)  # (P, 2): lr/bc1 and 1/bc2
-    new_p = p - segv[:, 0] * mu / (jnp.sqrt(nu * segv[:, 1]) + eps)
+        ones = jnp.ones((sz,), p.dtype)
+        seg_a.append(jnp.asarray(scale, p.dtype) * ones)
+        seg_b.append(jnp.asarray(denom_corr, p.dtype) * ones)
+    sa = jnp.concatenate(seg_a)
+    sb = jnp.concatenate(seg_b)
+    new_p = p - sa * mu / (jnp.sqrt(nu * sb) + eps)
 
     def unflat(v):
         out = {}

@@ -44,17 +44,22 @@ UMBRELLA_KEYS = ("flat_eye", "flat_lip_socket", "flat_face_bottom")
 
 
 class GeometryPriors(NamedTuple):
-    """Per-run constants + per-timestep temporal caches (all traced)."""
+    """Per-run constants + per-timestep temporal caches (all traced).
 
-    neighbor_indices: jnp.ndarray  # (N, K)
-    neighbor_dist: jnp.ndarray  # (N, K)
-    iso_w: jnp.ndarray  # (N, K)
-    rig_w: jnp.ndarray  # (N, K)
-    rot_w: jnp.ndarray  # (N, K)
+    One-ring arrays are stored TRANSPOSED (K, N) — vertices on the
+    128-lane minor dim (see losses.temporal module docstring for the TPU
+    layout rule this serves).
+    """
+
+    neighbor_indices: jnp.ndarray  # (K, N)
+    neighbor_dist: jnp.ndarray  # (K, N)
+    iso_w: jnp.ndarray  # (K, N)
+    rig_w: jnp.ndarray  # (K, N)
+    rot_w: jnp.ndarray  # (K, N)
     init_scale: jnp.ndarray  # (N,) sqrt(mean knn sq dist)
     temporal: TemporalPriors
     cos_init: jnp.ndarray  # (Es,) fused soft-flatten initial cosines
-    neighbor_inv: Optional[jnp.ndarray] = None  # (N, K) inverse ring slots
+    neighbor_inv: Optional[jnp.ndarray] = None  # unused (kept for ckpt compat)
 
 
 class TrainState(NamedTuple):
@@ -126,7 +131,6 @@ def make_geometry_step(
                 priors.rig_w,
                 priors.rot_w,
                 priors.iso_w,
-                neighbor_inv=priors.neighbor_inv,
             )
             losses.update(temporal)
             flat_total, _ = fused_flatten_loss(

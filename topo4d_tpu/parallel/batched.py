@@ -120,7 +120,6 @@ def make_batched_geometry_step(
                     rv.means3d, rv.rotations, priors.temporal,
                     priors.neighbor_indices, priors.neighbor_dist,
                     priors.rig_w, priors.rot_w, priors.iso_w,
-                    neighbor_inv=priors.neighbor_inv,
                 )
             )
             flat_total, _ = fused_flatten_loss(

@@ -130,7 +130,7 @@ class Trainer:
                 make_temporal_priors(
                     jnp.asarray(params_np["means3D"]),
                     rot_n,
-                    jnp.asarray(statics.ring.indices),
+                    jnp.asarray(np.ascontiguousarray(statics.ring.indices.T)),
                 ),
             )
         self._warm_start = jax.jit(
@@ -138,16 +138,19 @@ class Trainer:
                 means, quat_normalize(rots), nbr
             )
         )
+        # one-ring arrays transposed host-side to the (K, N) lane-friendly
+        # layout (losses.temporal module docstring)
+        tp = lambda a: jnp.asarray(np.ascontiguousarray(np.asarray(a).T))
+        self._nbrT = tp(statics.ring.indices)
         self.priors = GeometryPriors(
-            neighbor_indices=jnp.asarray(statics.ring.indices),
-            neighbor_dist=jnp.asarray(statics.ring.dist),
-            iso_w=jnp.asarray(statics.iso_w),
-            rig_w=jnp.asarray(statics.rig_w),
-            rot_w=jnp.asarray(statics.rot_w),
+            neighbor_indices=self._nbrT,
+            neighbor_dist=tp(statics.ring.dist),
+            iso_w=tp(statics.iso_w),
+            rig_w=tp(statics.rig_w),
+            rot_w=tp(statics.rot_w),
             init_scale=jnp.asarray(statics.init_scale),
             temporal=jax.tree_util.tree_map(jnp.asarray, temporal0),
             cos_init=jnp.asarray(cos0),
-            neighbor_inv=jnp.asarray(statics.ring.inv),
         )
         self.first_frame_attrs: Optional[Dict] = None
         self.output_params: List[Dict[str, np.ndarray]] = []
@@ -198,7 +201,7 @@ class Trainer:
                 temporal=self._warm_start(
                     self.state.params["means3D"],
                     self.state.params["unnorm_rotations"],
-                    jnp.asarray(self.statics.ring.indices),
+                    self._nbrT,
                 )
             )
             self.state = self.state._replace(
