@@ -265,3 +265,60 @@ def test_gather_neighbors_grads_match_plain_gather():
     g_plain = np.asarray(jax.grad(plain)(x))
     g_custom = np.asarray(jax.grad(custom)(x))
     np.testing.assert_allclose(g_custom, g_plain, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_umbrella_from_nb_matches_standalone():
+    """The gather-sharing umbrella path equals the standalone loss, incl grads."""
+    from topo4d_tpu.losses.flatten import (
+        FusedUmbrella,
+        build_fused_umbrella,
+        fused_umbrella_from_nb,
+        fused_umbrella_loss,
+    )
+    from topo4d_tpu.losses.temporal import _gather_rows_t
+    from topo4d_tpu.topology.adjacency import find_adjacent_vertices
+    from topo4d_tpu.losses.flatten import build_umbrella_flatten
+
+    rng = np.random.default_rng(3)
+    n = 40
+    faces = [[i, i + 1, i + 2] for i in range(0, n - 2, 1)]
+    ragged = find_adjacent_vertices(n, faces)
+    umbs = {
+        "flat_eye": build_umbrella_flatten(ragged, n, region=np.arange(0, 20)),
+        "flat_lip_socket": build_umbrella_flatten(ragged, n, region=np.arange(15, 35)),
+    }
+    fused = build_fused_umbrella(umbs, ("flat_eye", "flat_lip_socket"))
+    weights = {"flat_eye": jnp.asarray(2.0), "flat_lip_socket": jnp.asarray(0.5)}
+    x = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+
+    def shared(v):
+        idx = jnp.asarray(fused.neighbor_indices).T
+        nb = _gather_rows_t(v, idx)
+        return fused_umbrella_from_nb(nb, v.T, fused, weights)
+
+    def standalone(v):
+        return fused_umbrella_loss(v, fused, weights)
+
+    va, ga = jax.value_and_grad(shared)(x)
+    vb, gb = jax.value_and_grad(standalone)(x)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vb), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-5, atol=1e-7)
+
+
+def test_rigid_rot_iso_extra_hook_returns_extra():
+    rng = np.random.default_rng(0)
+    n, k = 12, 4
+    x = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    q = quat_normalize(jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32)))
+    idx = jnp.asarray(rng.integers(0, n, size=(k, n)).astype(np.int32))
+    pri = make_temporal_priors(x, q, idx)
+    w = jnp.ones((k, n))
+    d = jnp.ones((k, n))
+    out = rigid_rot_iso_losses(
+        x, q, pri, idx, d, w, w, w,
+        extra=lambda nb, xt: jnp.sum(nb[0]) + jnp.sum(xt),
+    )
+    assert "extra" in out
+    base = rigid_rot_iso_losses(x, q, pri, idx, d, w, w, w)
+    for key in ("rigid", "rot", "iso"):
+        np.testing.assert_allclose(np.asarray(out[key]), np.asarray(base[key]))

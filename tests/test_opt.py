@@ -211,3 +211,34 @@ def test_track_phase_with_all_losses_runs():
         np.asarray(state.params["means3D"][:5]), np.asarray(params["means3D"][:5]),
         atol=1e-7,
     )
+
+
+def test_dense_constraints_match_scatter():
+    """compile_dense_constraints reproduces ordered scatter semantics."""
+    from topo4d_tpu.opt.constraints import (
+        ScatterConstraint,
+        apply_constraints,
+        compile_dense_constraints,
+    )
+
+    rng = np.random.default_rng(7)
+    params = {
+        "a": jnp.asarray(rng.normal(size=(10, 3)).astype(np.float32)),
+        "b": jnp.asarray(rng.normal(size=(10, 1)).astype(np.float32)),
+    }
+    cons = [
+        ScatterConstraint(param="a", idx=np.array([1, 3, 5], np.int32),
+                          value=jnp.ones((3, 3)) * 2),
+        # overlapping write: index 3 must take the LATER value
+        ScatterConstraint(param="a", idx=np.array([3, 7], np.int32),
+                          value=jnp.ones((2, 3)) * 9),
+        ScatterConstraint(param="b", idx=np.array([0], np.int32),
+                          value=jnp.ones((1, 1)) * -4),
+    ]
+    dense = compile_dense_constraints(params, cons)
+    out_scatter = apply_constraints(params, cons)
+    out_dense = apply_constraints(params, dense)
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(out_dense[k]), np.asarray(out_scatter[k])
+        )

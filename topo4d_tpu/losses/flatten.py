@@ -329,11 +329,26 @@ def fused_umbrella_loss(
     # row gather + transposed (K, N) component math (TPU layout rule)
     from topo4d_tpu.losses.temporal import _gather_rows_t
 
-    xt = vertices.T  # (3, N)
     idx = jnp.asarray(fused.neighbor_indices).T  # (K, N)
+    nb = _gather_rows_t(vertices, idx)  # (3, K, N)
+    return fused_umbrella_from_nb(nb, vertices.T, fused, weights)
+
+
+def fused_umbrella_from_nb(
+    nb: jnp.ndarray,  # (C>=3, K, N) gathered one-ring data, comps 0-2 = xyz
+    xt: jnp.ndarray,  # (3, N) transposed vertices
+    fused: FusedUmbrella,
+    weights: "dict[str, jnp.ndarray]",
+) -> jnp.ndarray:
+    """Umbrella total from an EXISTING one-ring gather.
+
+    Lets the track step share the temporal loss's (K, N) neighbor gather —
+    the gather + its backward scatter dominate the umbrella cost (~0.7 ms
+    of 0.77 on a v5e chip). Requires ``fused.neighbor_indices`` to equal
+    the gather's index table (both are self-padded ``ring.ragged``).
+    """
     msk = jnp.asarray(fused.neighbor_mask).T  # (K, N)
     num = jnp.asarray(fused.neighbor_num)  # (N,)
-    nb = _gather_rows_t(vertices, idx)  # (3, K, N)
     sq = jnp.zeros_like(num)
     for c in range(3):
         ave = jnp.sum(nb[c] * msk, axis=0) / num

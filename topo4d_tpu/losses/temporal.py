@@ -78,6 +78,7 @@ def rigid_rot_iso_losses(
     rig_w: jnp.ndarray,  # (K, N)
     rot_w: jnp.ndarray,  # (K, N)
     iso_w: jnp.ndarray,  # (K, N)
+    extra=None,  # optional fn(nb (7,K,N), xt (3,N)) -> scalar
 ) -> Dict[str, jnp.ndarray]:
     """The three temporal losses of train.py:331-346.
 
@@ -85,6 +86,11 @@ def rigid_rot_iso_losses(
       must match the cached previous offsets.
     rot: neighbors must share the same relative rotation.
     iso: one-ring distances must match the rest-pose distances.
+
+    ``extra`` lets other one-ring losses (the umbrella flatten) reuse this
+    loss's neighbor gather — the gather and its backward scatter are the
+    dominant cost of any one-ring term. Its value is returned pre-weighted
+    under key "extra"; the caller must treat it as such.
     """
     eps = 1e-20
     idx = neighbor_indices
@@ -136,4 +142,7 @@ def rigid_rot_iso_losses(
     dd = mag - neighbor_dist
     iso = jnp.mean(jnp.sqrt(dd * dd * iso_w + eps))
 
-    return {"rigid": rigid, "rot": rot, "iso": iso}
+    out = {"rigid": rigid, "rot": rot, "iso": iso}
+    if extra is not None:
+        out["extra"] = extra(nb, xt)
+    return out

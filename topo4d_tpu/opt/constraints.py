@@ -30,12 +30,63 @@ class ScatterConstraint:
     param: str = dataclasses.field(metadata=dict(static=True))
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DenseConstraint:
+    """param = where(mask, value, param) — the select form of a merged
+    scatter set.
+
+    A handful of (N, C) scatters cost ~0.5 ms/step on a v5e chip; the same
+    writes as ONE full-size masked select are elementwise (~10x cheaper).
+    Built once per phase by ``compile_dense_constraints``.
+    """
+
+    mask: jnp.ndarray  # (N, 1) bool
+    value: jnp.ndarray  # (N, C)
+    param: str = dataclasses.field(metadata=dict(static=True))
+
+
+def compile_dense_constraints(
+    params_like: Dict[str, jnp.ndarray],
+    constraints: Sequence[ScatterConstraint],
+) -> "list[DenseConstraint]":
+    """Merge ordered ScatterConstraints into one DenseConstraint per param.
+
+    Host-side, once per phase (all constraint values are static per phase:
+    constants, frame-0 params, cached first-frame attrs — train.py:676-700).
+    Later writes to the same index win, preserving apply order.
+    """
+    acc: Dict[str, tuple] = {}
+    order: list = []
+    for c in constraints:
+        like = params_like[c.param]
+        if c.param not in acc:
+            acc[c.param] = (
+                np.zeros((like.shape[0], 1), bool),
+                np.zeros(like.shape, np.dtype(like.dtype)),
+            )
+            order.append(c.param)
+        mask, val = acc[c.param]
+        idx = np.asarray(c.idx, np.int64)
+        mask[idx] = True
+        val[idx] = np.asarray(c.value)
+    return [
+        DenseConstraint(
+            mask=jnp.asarray(acc[k][0]), value=jnp.asarray(acc[k][1]), param=k
+        )
+        for k in order
+    ]
+
+
 def apply_constraints(
-    params: Dict[str, jnp.ndarray], constraints: Sequence[ScatterConstraint]
+    params: Dict[str, jnp.ndarray], constraints: Sequence
 ) -> Dict[str, jnp.ndarray]:
     out = dict(params)
     for c in constraints:
-        out[c.param] = out[c.param].at[jnp.asarray(c.idx)].set(c.value)
+        if isinstance(c, DenseConstraint):
+            out[c.param] = jnp.where(c.mask, c.value, out[c.param])
+        else:
+            out[c.param] = out[c.param].at[jnp.asarray(c.idx)].set(c.value)
     return out
 
 

@@ -22,6 +22,7 @@ from typing import Callable, Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from topo4d_tpu.core.camera import Camera
 from topo4d_tpu.core.gaussian import GaussianRenderVars, activate_params
@@ -31,6 +32,7 @@ from topo4d_tpu.losses.flatten import (
     build_fused_flatten,
     build_fused_umbrella,
     fused_flatten_loss,
+    fused_umbrella_from_nb,
     fused_umbrella_loss,
 )
 from topo4d_tpu.losses.image import photometric_loss, psnr
@@ -72,18 +74,29 @@ def make_geometry_step(
     quadruples: Dict[str, DihedralQuadruples],
     umbrellas: Dict[str, UmbrellaFlatten],
     render_fn: Callable[[GaussianRenderVars, Camera], object],
+    ring_indices=None,  # (N, K) np.int32 — priors.neighbor_indices pre-transpose
 ) -> Callable:
     """Build the jitted step. ``render_fn(rv, cam) -> RenderOutput``.
 
     ``quadruples``/``umbrellas`` hold the host-precomputed flatten index
     sets (missing keys simply drop that loss, like the reference's
     ``is not None`` guards at train.py:349-357).
+
+    ``ring_indices`` is the one-ring table the caller will pass (transposed)
+    as ``priors.neighbor_indices``. When it matches the umbrella sets'
+    table, the umbrella loss rides the temporal losses' neighbor gather
+    instead of issuing its own (saves a gather + backward scatter).
     """
 
     fused_quads = build_fused_flatten(
         quadruples, HARD_FLATTEN_KEYS, SOFT_FLATTEN_KEYS
     )
     fused_umb = build_fused_umbrella(umbrellas, UMBRELLA_KEYS)
+    umb_shares_ring = (
+        fused_umb is not None
+        and ring_indices is not None
+        and np.array_equal(fused_umb.neighbor_indices, ring_indices)
+    )
 
     def loss_fn(
         params: Dict[str, jnp.ndarray],
@@ -122,6 +135,11 @@ def make_geometry_step(
             )
             pre_weighted = pre_weighted + flat_total
         else:
+            umb_fn = None
+            if umb_shares_ring:
+                umb_fn = lambda nb, xt: fused_umbrella_from_nb(
+                    nb, xt, fused_umb, weights
+                )
             temporal = rigid_rot_iso_losses(
                 rv.means3d,
                 rv.rotations,
@@ -131,14 +149,18 @@ def make_geometry_step(
                 priors.rig_w,
                 priors.rot_w,
                 priors.iso_w,
+                extra=umb_fn,
             )
+            umb_pre = temporal.pop("extra", None)
+            if umb_pre is not None:
+                pre_weighted = pre_weighted + umb_pre
             losses.update(temporal)
             flat_total, _ = fused_flatten_loss(
                 rv.means3d, fused_quads, weights,
                 soft_cos_init=priors.cos_init,
             )
             pre_weighted = pre_weighted + flat_total
-            if fused_umb is not None:
+            if fused_umb is not None and not umb_shares_ring:
                 pre_weighted = pre_weighted + fused_umbrella_loss(
                     rv.means3d, fused_umb, weights
                 )
@@ -151,7 +173,7 @@ def make_geometry_step(
         aux = (losses, new_cos, out.radii, im)
         return total, aux
 
-    @functools.partial(jax.jit, static_argnames=("phase",))
+    @functools.partial(jax.jit, static_argnames=("phase", "with_metrics"))
     def step(
         state: TrainState,
         gt: jnp.ndarray,  # (3, H, W) target for the chosen view
@@ -162,6 +184,7 @@ def make_geometry_step(
         lr: Dict[str, jnp.ndarray],
         weights: Dict[str, jnp.ndarray],
         phase: str,
+        with_metrics: bool = True,
     ) -> Tuple[TrainState, GeometryPriors, Dict[str, jnp.ndarray]]:
         cam = cams[view_id]
         (total, (losses, new_cos, radii, im)), grads = jax.value_and_grad(
@@ -180,7 +203,10 @@ def make_geometry_step(
 
         metrics = {("loss_" + k): v for k, v in losses.items()}
         metrics["loss_total"] = total
-        metrics["psnr"] = jnp.mean(psnr(im, gt))
+        if with_metrics:
+            # PSNR costs ~0.3 ms/step on a v5e chip; the reference only
+            # reports it every log_freq iterations (train.py:454-474)
+            metrics["psnr"] = jnp.mean(psnr(im, gt))
 
         new_priors = priors._replace(cos_init=new_cos)
         return (

@@ -16,6 +16,7 @@ from typing import Callable, Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from topo4d_tpu.core.camera import Camera
 from topo4d_tpu.core.gaussian import activate_params
@@ -25,6 +26,7 @@ from topo4d_tpu.losses.flatten import (
     build_fused_flatten,
     build_fused_umbrella,
     fused_flatten_loss,
+    fused_umbrella_from_nb,
     fused_umbrella_loss,
 )
 from topo4d_tpu.losses.image import photometric_loss, psnr
@@ -46,6 +48,7 @@ def make_batched_geometry_step(
     render_fn: Callable,
     sequential_views: bool = False,
     mesh=None,
+    ring_indices=None,  # (N, K) — see opt.step.make_geometry_step
 ) -> Callable:
     """Jitted all-views step. ``render_fn(rv, cam) -> RenderOutput``.
 
@@ -92,6 +95,11 @@ def make_batched_geometry_step(
         quadruples, HARD_FLATTEN_KEYS, SOFT_FLATTEN_KEYS
     )
     fused_umb = build_fused_umbrella(umbrellas, UMBRELLA_KEYS)
+    umb_shares_ring = (
+        fused_umb is not None
+        and ring_indices is not None
+        and np.array_equal(fused_umb.neighbor_indices, ring_indices)
+    )
 
     def loss_fn(params, images, cams, priors, weights, phase):
         rv = activate_params(params)
@@ -115,19 +123,27 @@ def make_batched_geometry_step(
             )
             pre_weighted = pre_weighted + flat_total
         else:
-            losses.update(
-                rigid_rot_iso_losses(
-                    rv.means3d, rv.rotations, priors.temporal,
-                    priors.neighbor_indices, priors.neighbor_dist,
-                    priors.rig_w, priors.rot_w, priors.iso_w,
+            umb_fn = None
+            if umb_shares_ring:
+                umb_fn = lambda nb, xt: fused_umbrella_from_nb(
+                    nb, xt, fused_umb, weights
                 )
+            temporal = rigid_rot_iso_losses(
+                rv.means3d, rv.rotations, priors.temporal,
+                priors.neighbor_indices, priors.neighbor_dist,
+                priors.rig_w, priors.rot_w, priors.iso_w,
+                extra=umb_fn,
             )
+            umb_pre = temporal.pop("extra", None)
+            if umb_pre is not None:
+                pre_weighted = pre_weighted + umb_pre
+            losses.update(temporal)
             flat_total, _ = fused_flatten_loss(
                 rv.means3d, fused_quads, weights,
                 soft_cos_init=priors.cos_init,
             )
             pre_weighted = pre_weighted + flat_total
-            if fused_umb is not None:
+            if fused_umb is not None and not umb_shares_ring:
                 pre_weighted = pre_weighted + fused_umbrella_loss(
                     rv.means3d, fused_umb, weights
                 )

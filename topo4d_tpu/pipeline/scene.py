@@ -23,7 +23,11 @@ from topo4d_tpu.losses.flatten import (
     build_dihedral_quadruples,
     build_umbrella_flatten,
 )
-from topo4d_tpu.opt.constraints import ScatterConstraint, inverse_sigmoid
+from topo4d_tpu.opt.constraints import (
+    ScatterConstraint,
+    compile_dense_constraints,
+    inverse_sigmoid,
+)
 from topo4d_tpu.topology.adjacency import OneRing, build_one_ring, triangulate_faces
 from topo4d_tpu.topology.densify_uv import DenseMesh, build_dense_topology
 from topo4d_tpu.topology.knn import mean_knn_sq_dist
@@ -324,13 +328,17 @@ def build_constraints(
     regions: FacialRegions,
     first_frame_attrs: Optional[Dict[str, jnp.ndarray]] = None,
     merge: bool = True,
+    dense: bool = True,
 ) -> List[ScatterConstraint]:
-    """Post-step scatter writes for ``phase`` in
+    """Post-step region writes for ``phase`` in
     {"init_early", "init", "track"}.
 
     init_early covers the first 70% of frame-0 iterations where the eye
     socket is additionally frozen (train.py:682-686). With ``merge`` the
-    writes are fused into one scatter per parameter (order-preserving).
+    writes are fused into one scatter per parameter (order-preserving);
+    with ``dense`` (the production form) each merged scatter becomes a
+    full-size masked select — elementwise, ~10x cheaper per step on TPU
+    than the scatter.
     """
     m = regions.masks
     rm = regions.region_masks
@@ -400,6 +408,8 @@ def build_constraints(
             ),
             _const("rgb_colors", m["mouth_inner_masks"], 0.0, p0["rgb_colors"]),
         ]
+    if dense:
+        return compile_dense_constraints(params0, cons)
     return merge_constraints(cons) if merge else cons
 
 
@@ -425,8 +435,9 @@ def build_dense_pre_constraints(
     """Texture-phase pre-step color zeroing (train.py:731-734)."""
     m = regions.masks
     like = params0_dense["dense_rgb_colors"]
-    return [
+    cons = [
         _const("dense_rgb_colors", m["static_masks"], 0.0, like),
         _const("dense_rgb_colors", m["dynamic_masks"], 0.0, like),
         _const("dense_rgb_colors", m["mouth_inner_masks"], 0.0, like),
     ]
+    return compile_dense_constraints(params0_dense, cons)

@@ -92,7 +92,8 @@ class Trainer:
         self.statics = statics
         self.render_fn = make_render_fn(cfg)
         self.step = make_geometry_step(
-            statics.quadruples, statics.umbrellas, self.render_fn
+            statics.quadruples, statics.umbrellas, self.render_fn,
+            ring_indices=statics.ring.indices,
         )
         # all-views mode: multi-device uses shard_map over the view axis
         # (required for the Pallas backend, which has no vmap rule)
@@ -105,6 +106,7 @@ class Trainer:
             statics.quadruples, statics.umbrellas, self.render_fn,
             sequential_views=(cfg.raster.backend == "pallas"),
             mesh=self.mesh,
+            ring_indices=statics.ring.indices,
         )
 
         params = {k: jnp.asarray(v) for k, v in params_np.items()}
@@ -251,9 +253,11 @@ class Trainer:
                 )
             else:
                 vid = jnp.asarray(order[i], jnp.int32)
+                log_this = i % sched.log_freq == 0 or i == num_iters - 1
                 self.state, self.priors, m = self.step(
                     self.state, images[order[i]], cams, vid, self.priors,
                     constraints, lr, weights, step_phase,
+                    with_metrics=log_this,
                 )
             if i % sched.log_freq == 0 or i == num_iters - 1:
                 metrics = {k: float(v) for k, v in m.items()}
