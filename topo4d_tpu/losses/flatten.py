@@ -105,13 +105,24 @@ def dihedral_cos(
     """
     # ONE row gather for all four corners (fast along sublanes; a
     # per-component lane gather is ~10x slower — losses.temporal note),
-    # 128-padded so the four lane slices stay aligned
+    # 128-padded so the four lane slices stay aligned. Padding uses the
+    # sentinel N (clamped by the gather, excluded from the inverse
+    # incidence) so the scatter-free backward never touches vertex 0.
+    from topo4d_tpu.losses.neighbors import (
+        build_inverse_incidence,
+        gather_rows_inv,
+    )
+
+    n = vertices.shape[0]
     e = int(np.asarray(quads.v0).shape[0])
     ep = -(-max(e, 1) // 128) * 128
-    idx = np.zeros(4 * ep, np.int32)
+    idx = np.full(4 * ep, n, np.int32)
     for j, f in enumerate((quads.v0, quads.v1, quads.v2, quads.v3)):
         idx[j * ep : j * ep + e] = np.asarray(f)
-    g = vertices[jnp.asarray(idx)].T  # (3, 4*Ep)
+    inv = build_inverse_incidence(idx, n)
+    g = gather_rows_inv(
+        vertices, jnp.asarray(np.minimum(idx, n - 1)), jnp.asarray(inv)
+    ).T  # (3, 4*Ep)
     v0 = g[:, 0:ep]
     v1 = g[:, ep : 2 * ep]
     v2 = g[:, 2 * ep : 3 * ep]

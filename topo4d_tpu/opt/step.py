@@ -97,6 +97,16 @@ def make_geometry_step(
         and ring_indices is not None
         and np.array_equal(fused_umb.neighbor_indices, ring_indices)
     )
+    # scatter-free backward for the one-ring gather (the trainer passes
+    # priors.neighbor_indices == ring_indices.T, which the losses flatten
+    # back to the same (K·N,) order the table is built from)
+    ring_inv = None
+    if ring_indices is not None:
+        from topo4d_tpu.losses.neighbors import build_inverse_incidence
+
+        ring_inv = build_inverse_incidence(
+            np.asarray(ring_indices).T.reshape(-1), ring_indices.shape[0]
+        )
 
     def loss_fn(
         params: Dict[str, jnp.ndarray],
@@ -150,6 +160,7 @@ def make_geometry_step(
                 priors.rot_w,
                 priors.iso_w,
                 extra=umb_fn,
+                ring_inv=ring_inv,
             )
             umb_pre = temporal.pop("extra", None)
             if umb_pre is not None:

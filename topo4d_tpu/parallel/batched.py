@@ -100,6 +100,13 @@ def make_batched_geometry_step(
         and ring_indices is not None
         and np.array_equal(fused_umb.neighbor_indices, ring_indices)
     )
+    ring_inv = None
+    if ring_indices is not None:
+        from topo4d_tpu.losses.neighbors import build_inverse_incidence
+
+        ring_inv = build_inverse_incidence(
+            np.asarray(ring_indices).T.reshape(-1), ring_indices.shape[0]
+        )
 
     def loss_fn(params, images, cams, priors, weights, phase):
         rv = activate_params(params)
@@ -133,6 +140,7 @@ def make_batched_geometry_step(
                 priors.neighbor_indices, priors.neighbor_dist,
                 priors.rig_w, priors.rot_w, priors.iso_w,
                 extra=umb_fn,
+                ring_inv=ring_inv,
             )
             umb_pre = temporal.pop("extra", None)
             if umb_pre is not None:

@@ -24,10 +24,22 @@ tile-id field. Kernel techniques:
   (T /= (1−alpha), diff-gaussian-rasterization backward.cu), vectorized
   per 128-entry window. No forward resweep, and windows past the
   termination point (whose gradients are identically zero) are skipped;
-- backward writes ACCUMULATE read-modify-write: boundary windows shared
-  between adjacent tiles chain correctly because the grid is declared
-  sequential ("arbitrary" dimension semantics); the grad buffer starts
-  zeroed via input/output aliasing.
+- monotone window schedule: entries are sorted by (tile, depth), so when
+  tiles are processed in ascending order (forward) the global 128-entry
+  window index never decreases, and in DESCENDING order (backward, whose
+  per-tile sweep is back-to-front) it never increases. Two consequences,
+  both exploited via scratch state that persists across grid steps:
+    * a one-window VMEM cache: a boundary window shared by ~5 adjacent
+      tiles (geometry scale: ~23 entries/tile) is DMA'd once, not 5x;
+    * the backward accumulates each window's entry gradients in a VMEM
+      register and flushes it to HBM EXACTLY ONCE when the schedule moves
+      past it — no read-modify-write chains, no gradient read DMAs at
+      all. Unvisited windows stay zero via input/output aliasing. Foreign
+      (masked) entry columns produce exactly-zero gradient blocks, so the
+      shared accumulator reproduces the per-tile RMW sum bit-for-bit up
+      to f32 addition order.
+  The grid stays sequential ("arbitrary" dimension semantics) — the
+  schedule is the correctness argument.
 """
 
 from __future__ import annotations
@@ -114,15 +126,27 @@ def _window_bounds(start, count, chunk):
 
 
 def _fwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
-    def kernel(start_ref, count_ref, packed_hbm, out_ref, buf, sem):
+    def kernel(start_ref, count_ref, packed_hbm, out_ref, buf, scal, sem):
         step = pl.program_id(0)
         u_prefix, _ = _tri_masks(chunk)
+
+        # window cache: scal[0] = global window index of the data sitting
+        # in buf[scal[1]] (DMA completed), -1 = empty. Persists across
+        # grid steps (sequential grid).
+        @pl.when(step == 0)
+        def _():
+            scal[0] = -1
+            scal[1] = 0
 
         for t_off in range(tiles_per_step):  # static unroll
             i = step * tiles_per_step + t_off
             first, k = _window_bounds(start_ref[i], count_ref[i], chunk)
             px, py = _pixel_coords(i, tiles_x)
             tile_f = i.astype(jnp.float32)
+            # ascending tiles => ascending first; a hit means the previous
+            # tile's last-loaded window IS this tile's first window
+            hit = jnp.logical_and(k > 0, scal[0] == first)
+            base = jnp.where(hit, scal[1], 0)
 
             def get_dma(slot, c, first=first):
                 off = pl.multiple_of((first + c) * chunk, chunk)
@@ -132,9 +156,9 @@ def _fwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
                     sem.at[slot],
                 )
 
-            @pl.when(k > 0)
+            @pl.when(jnp.logical_and(k > 0, jnp.logical_not(hit)))
             def _():
-                get_dma(0, 0).start()
+                get_dma(base, 0).start()
 
             def cond(state, k=k):
                 c, t_un, t_fr, acc = state
@@ -142,15 +166,19 @@ def _fwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
                     c < k, jnp.max(t_un) >= TRANSMITTANCE_MIN
                 )
 
-            def body(state, k=k, px=px, py=py, tile_f=tile_f, get_dma=get_dma):
+            def body(state, k=k, px=px, py=py, tile_f=tile_f,
+                     get_dma=get_dma, hit=hit, base=base):
                 c, t_un, t_fr, acc = state
-                slot = jax.lax.rem(c, 2)
+                slot = jax.lax.rem(c + base, 2)
 
                 @pl.when(c + 1 < k)
                 def _():
                     get_dma(1 - slot, c + 1).start()
 
-                get_dma(slot, c).wait()
+                # cache hit: window 0's DMA was waited by a previous tile
+                @pl.when(jnp.logical_or(c > 0, jnp.logical_not(hit)))
+                def _():
+                    get_dma(slot, c).wait()
                 data = buf[slot]
                 alpha, _, _, _, _ = _chunk_terms(data, px, py, tile_f)
                 log1m = jnp.log1p(-alpha)
@@ -189,7 +217,15 @@ def _fwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
             # it (scratch/semaphores persist across grid steps)
             @pl.when(jnp.logical_and(c_end < k, c_end > 0))
             def _():
-                get_dma(jax.lax.rem(c_end, 2), c_end).wait()
+                get_dma(jax.lax.rem(c_end + base, 2), c_end).wait()
+
+            # record the last window whose DMA completed (the drained
+            # prefetch, or the last processed window) for the next tile
+            @pl.when(k > 0)
+            def _():
+                last_c = jnp.where(c_end < k, c_end, k - 1)
+                scal[0] = first + last_c
+                scal[1] = jax.lax.rem(last_c + base, 2)
 
             # rows 5/6 carry backward residuals: the number of windows the
             # forward actually processed (early termination) and the raw
@@ -236,6 +272,7 @@ def _blend_fwd_impl(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, PACK_FIELDS, chunk), jnp.float32),
+            pltpu.SMEM((2,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -243,54 +280,102 @@ def _blend_fwd_impl(
         _fwd_kernel(tiles_x, chunk, tps),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((pad_t, 8, PX), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # window cache is stateful
+        ),
         interpret=interpret,
     )(tile_start, tile_count, packed)
     return out[:t]
 
 
+TILES_PER_STEP = 4  # probed best on v5e (8/16 gain <5% and cost VMEM)
+
+
 def _tiles_per_step(num_tiles: int) -> int:
     """Tiles per grid step: amortizes per-step overhead (~1-2 us each)."""
-    for tps in (4, 2, 1):
+    for tps in (TILES_PER_STEP, 4, 2, 1):
         if num_tiles >= tps:
             return tps
     return 1
 
 
 def _bwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
-    """Backward: single reverse sweep with RMW grad accumulation.
+    """Backward: single reverse sweep, tiles DESCENDING, one grad write
+    per window.
 
     Transmittance is reconstructed back-to-front from the forward's saved
     final carry (out row 6) by window-level division, and only the windows
-    the forward actually processed (out row 5) are visited.
+    the forward actually processed (out row 5) are visited. Descending
+    tiles + the per-tile back-to-front sweep make the global window index
+    monotone non-increasing, so a single VMEM accumulator (flushed to HBM
+    when the schedule moves to a lower window) replaces per-tile
+    read-modify-write chains. scal layout (SMEM, persists across steps):
+      0: packed-cache window   1: packed-cache slot
+      2: accumulator's window (-1 = empty)
+      3: flush-in-flight flag  4: window of the in-flight flush
     """
 
     def kernel(
         start_ref, count_ref, cend_ref, packed_hbm, g_ref, fwd_ref,
-        zeros_hbm, dpacked_hbm, buf, dbuf, ebuf, sem, wsem, esem,
+        zeros_hbm, dpacked_hbm, buf, accbuf, flushbuf, scal, sem, wsem,
     ):
-        # dpacked is aliased to a zeros input, so RMW accumulation starts
-        # from a defined state without an in-kernel memset
+        # dpacked is aliased to a zeros input: windows the schedule never
+        # visits (entries past every tile's termination point, invalid-
+        # tile tail entries) keep their zero gradient without a memset
         del zeros_hbm
         step = pl.program_id(0)
+        nsteps = pl.num_programs(0)
         u_prefix, l_suffix = _tri_masks(chunk)
         basis = _moment_basis()
 
-        for t_off in range(tiles_per_step):  # static unroll
+        @pl.when(step == 0)
+        def _():
+            scal[0] = -1
+            scal[1] = 0
+            scal[2] = -1
+            scal[3] = 0
+            scal[4] = 0
+
+        def flush_dma(w):
+            off = pl.multiple_of(w * chunk, chunk)
+            return pltpu.make_async_copy(
+                flushbuf,
+                dpacked_hbm.at[:, pl.ds(off, chunk)],
+                wsem,
+            )
+
+        # grid step s handles tile block (nsteps-1-s); within the block
+        # tiles run high-to-low so the global tile order is descending
+        for t_rev in range(tiles_per_step):  # static unroll
+            t_off = tiles_per_step - 1 - t_rev
             _bwd_one_tile(
-                step * tiles_per_step + t_off,
+                (nsteps - 1 - step) * tiles_per_step + t_off,
                 start_ref, count_ref, cend_ref, packed_hbm,
                 g_ref[t_off].T, fwd_ref[t_off].T,
-                dpacked_hbm, buf, dbuf, ebuf, sem, wsem, esem,
+                buf, accbuf, flushbuf, scal, sem, flush_dma,
                 tiles_x, chunk, u_prefix, l_suffix, basis,
             )
+
+        # last grid step: flush the still-open window
+        @pl.when(step == nsteps - 1)
+        def _():
+            @pl.when(scal[3] == 1)
+            def _():
+                flush_dma(scal[4]).wait()
+
+            @pl.when(scal[2] >= 0)
+            def _():
+                flushbuf[...] = accbuf[...]
+                flush_dma(scal[2]).start()
+                flush_dma(scal[2]).wait()
 
     return kernel
 
 
 def _bwd_one_tile(
-    i, start_ref, count_ref, cend_ref, packed_hbm, g8, fwd8, dpacked_hbm,
-    buf, dbuf, ebuf, sem, wsem, esem, tiles_x, chunk, u_prefix, l_suffix,
-    basis,
+    i, start_ref, count_ref, cend_ref, packed_hbm, g8, fwd8,
+    buf, accbuf, flushbuf, scal, sem, flush_dma, tiles_x, chunk,
+    u_prefix, l_suffix, basis,
 ):
     first, k = _window_bounds(start_ref[i], count_ref[i], chunk)
     # windows past the forward's early-termination point carry zero
@@ -314,38 +399,28 @@ def _bwd_one_tile(
             sem.at[slot],
         )
 
-    def read_grad_dma(slot, c):
-        off = pl.multiple_of((first + c) * chunk, chunk)
-        return pltpu.make_async_copy(
-            dpacked_hbm.at[:, pl.ds(off, chunk)],
-            ebuf.at[slot],
-            esem.at[slot],
-        )
+    # descending tiles: a hit means the previously processed tile's first
+    # window IS this tile's last window (its sweep starts there)
+    hit = jnp.logical_and(k > 0, scal[0] == first + k - 1)
+    base = jnp.where(hit, scal[1], 0)
 
-    def write_grad_dma(slot, c):
-        off = pl.multiple_of((first + c) * chunk, chunk)
-        return pltpu.make_async_copy(
-            dbuf.at[slot],
-            dpacked_hbm.at[:, pl.ds(off, chunk)],
-            wsem.at[slot],
-        )
-
-    # ---- reverse sweep with read-modify-write accumulation --------------
-    @pl.when(k > 0)
+    # ---- reverse sweep; grads accumulate in the shared window register --
+    @pl.when(jnp.logical_and(k > 0, jnp.logical_not(hit)))
     def _():
-        get_dma(0, k - 1).start()
-        read_grad_dma(0, k - 1).start()
+        get_dma(base, k - 1).start()
 
     def rbody(j, carry):
         suf, t_out = carry
         c = k - 1 - j
-        slot = jax.lax.rem(j, 2)
+        slot = jax.lax.rem(j + base, 2)
 
         @pl.when(j + 1 < k)
         def _():
             get_dma(1 - slot, c - 1).start()
 
-        get_dma(slot, c).wait()
+        @pl.when(jnp.logical_or(j > 0, jnp.logical_not(hit)))
+        def _():
+            get_dma(slot, c).wait()
         data = buf[slot]
         alpha, raw, g_exp, dx, dy = _chunk_terms(data, px, py, tile_f)
         log1m = jnp.log1p(-alpha)
@@ -419,19 +494,33 @@ def _bwd_one_tile(
             [dxm, dym, dca, dcb, dcc, dop, zero, dfeat], axis=0
         )  # (16, chunk)
 
-        # previous write on this slot must land before we reuse dbuf
-        @pl.when(j >= 2)
+        # monotone schedule: same window -> accumulate in VMEM; lower
+        # window -> flush the open one (exactly once per window) and open
+        # this one. Foreign-entry columns of dout are exactly zero, so
+        # accumulation across the tiles sharing a window equals the sum.
+        w_glob = first + c
+        switch = w_glob != scal[2]
+
+        @pl.when(switch)
         def _():
-            write_grad_dma(slot, c + 2).wait()
+            @pl.when(scal[3] == 1)
+            def _():
+                flush_dma(scal[4]).wait()  # flushbuf free again
 
-        read_grad_dma(slot, c).wait()
-        dbuf[slot] = ebuf[slot] + dout
+            @pl.when(scal[2] >= 0)
+            def _():
+                flushbuf[...] = accbuf[...]
+                flush_dma(scal[2]).start()
+                scal[4] = scal[2]
+                scal[3] = 1
 
-        @pl.when(j + 1 < k)
+            accbuf[...] = dout
+            scal[2] = w_glob
+
+        @pl.when(jnp.logical_not(switch))
         def _():
-            read_grad_dma(1 - slot, c - 1).start()
+            accbuf[...] = accbuf[...] + dout
 
-        write_grad_dma(slot, c).start()
         # carry the reconstructed incoming transmittance to the previous
         # window (clamped: a saturated 0 carry stays 0)
         t_in = t_out * jnp.exp(jnp.minimum(-s_total, _EXP_CLAMP))
@@ -440,14 +529,11 @@ def _bwd_one_tile(
     suf0 = jnp.zeros((PX, 1), jnp.float32)
     jax.lax.fori_loop(0, k, rbody, (suf0, t_seed))
 
-    # drain outstanding writes
-    @pl.when(k >= 2)
+    # the sweep's last DMA-completed window is this tile's FIRST window
+    @pl.when(k > 0)
     def _():
-        write_grad_dma(jax.lax.rem(k - 2, 2), 1).wait()
-
-    @pl.when(k >= 1)
-    def _():
-        write_grad_dma(jax.lax.rem(k - 1, 2), 0).wait()
+        scal[0] = first
+        scal[1] = jax.lax.rem(k - 1 + base, 2)
 
 
 @functools.partial(
@@ -477,27 +563,25 @@ def _blend_bwd_impl(
         fwd_out = jnp.concatenate(
             [fwd_out, jnp.zeros((pad_t - t, 8, PX), fwd_out.dtype)]
         )
+    nsteps = pad_t // tps
+    rev = lambda i, *_: (nsteps - 1 - i, 0, 0)  # tiles run descending
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(pad_t // tps,),
+        grid=(nsteps,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(
-                (tps, 8, PX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (tps, 8, PX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((tps, 8, PX), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tps, 8, PX), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, PACK_FIELDS, chunk), jnp.float32),  # entry reads
-            pltpu.VMEM((2, PACK_FIELDS, chunk), jnp.float32),  # grad writes
-            pltpu.VMEM((2, PACK_FIELDS, chunk), jnp.float32),  # grad reads
+            pltpu.VMEM((PACK_FIELDS, chunk), jnp.float32),  # window grad acc
+            pltpu.VMEM((PACK_FIELDS, chunk), jnp.float32),  # flush staging
+            pltpu.SMEM((8,), jnp.int32),  # caches + flush state
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     zeros = jnp.zeros((PACK_FIELDS, e_pad), jnp.float32)
@@ -507,7 +591,7 @@ def _blend_bwd_impl(
         out_shape=jax.ShapeDtypeStruct((PACK_FIELDS, e_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            dimension_semantics=("arbitrary",),  # RMW chains need sequential
+            dimension_semantics=("arbitrary",),  # monotone window schedule
         ),
         input_output_aliases={6: 0},  # zeros input (after 3 scalar args)
         interpret=interpret,
