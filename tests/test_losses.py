@@ -388,3 +388,37 @@ def test_rigid_rot_iso_ring_inv_matches_plain():
     np.testing.assert_allclose(
         np.asarray(ga), np.asarray(gb), rtol=1e-5, atol=1e-7
     )
+
+
+def test_gather_rows_inv_split_matches_plain():
+    """Split (dense + overflow scatter) backward equals autodiff."""
+    from topo4d_tpu.losses.neighbors import (
+        build_inverse_incidence_split,
+        gather_rows_inv,
+    )
+
+    rng = np.random.default_rng(9)
+    n, c = 17, 3
+    # heavily skewed incidence so the split actually triggers
+    idx = np.concatenate([
+        rng.integers(0, n, 120),
+        np.full(60, 3),  # one vertex referenced 60+ times
+    ]).astype(np.int32)
+    inv, epos, evert = build_inverse_incidence_split(idx, n)
+    assert epos.size > 0, "expected overflow entries in this fixture"
+    x = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(idx.size, c)).astype(np.float32))
+    idx_d = jnp.asarray(idx)
+
+    def custom(x):
+        return jnp.sum(gather_rows_inv(
+            x, idx_d, jnp.asarray(inv), jnp.asarray(epos),
+            jnp.asarray(evert)) * cot)
+
+    def plain(x):
+        return jnp.sum(x[idx_d] * cot)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(custom)(x)), np.asarray(jax.grad(plain)(x)),
+        rtol=1e-5, atol=1e-6,
+    )

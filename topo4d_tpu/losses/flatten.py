@@ -109,7 +109,7 @@ def dihedral_cos(
     # sentinel N (clamped by the gather, excluded from the inverse
     # incidence) so the scatter-free backward never touches vertex 0.
     from topo4d_tpu.losses.neighbors import (
-        build_inverse_incidence,
+        build_inverse_incidence_split,
         gather_rows_inv,
     )
 
@@ -119,9 +119,10 @@ def dihedral_cos(
     idx = np.full(4 * ep, n, np.int32)
     for j, f in enumerate((quads.v0, quads.v1, quads.v2, quads.v3)):
         idx[j * ep : j * ep + e] = np.asarray(f)
-    inv = build_inverse_incidence(idx, n)
+    inv, extra_pos, extra_vert = build_inverse_incidence_split(idx, n)
     g = gather_rows_inv(
-        vertices, jnp.asarray(np.minimum(idx, n - 1)), jnp.asarray(inv)
+        vertices, jnp.asarray(np.minimum(idx, n - 1)), jnp.asarray(inv),
+        jnp.asarray(extra_pos), jnp.asarray(extra_vert),
     ).T  # (3, 4*Ep)
     v0 = g[:, 0:ep]
     v1 = g[:, ep : 2 * ep]

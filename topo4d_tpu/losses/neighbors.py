@@ -52,42 +52,108 @@ def build_inverse_incidence(idx_flat: np.ndarray, n: int) -> np.ndarray:
     append a zero row to the cotangent before gathering). Entries >= n
     (explicit sentinels) are ignored.
     """
+    inv, extra_pos, extra_vert = build_inverse_incidence_split(
+        idx_flat, n, slots=None
+    )
+    assert extra_pos.size == 0
+    return inv
+
+
+# measured on a v5e chip (scripts/probe_scatter.py): row gathers vs
+# unsorted scatter-adds, microseconds per 1k rows
+_GATHER_US_PER_KROW = 2.9
+_SCATTER_US_PER_KROW = 8.6
+
+
+def build_inverse_incidence_split(
+    idx_flat: np.ndarray, n: int, slots: "int | None" = 0
+):
+    """Inverse incidence as a dense (n, S) table + overflow COO lists.
+
+    When the incidence degree is skewed (flatten quadruples: mean ~9,
+    max ~20), padding the dense table to dmax wastes ~half the backward's
+    gather rows. S is chosen to minimize the modeled backward cost
+    n*S*gather + overflow*scatter; positions beyond slot S per vertex go
+    to (extra_pos, extra_vert) handled by one small scatter-add.
+    ``slots=None`` forces the single dense table (S = dmax).
+    """
     idx_flat = np.asarray(idx_flat, np.int64).reshape(-1)
     l = idx_flat.shape[0]
-    real = idx_flat < n
-    pos = np.nonzero(real)[0]
+    pos = np.nonzero(idx_flat < n)[0]
     vals = idx_flat[pos]
     order = np.argsort(vals, kind="stable")
     sorted_v = vals[order]
+    sorted_p = pos[order].astype(np.int32)
     counts = np.bincount(sorted_v, minlength=n)
     dmax = max(int(counts.max()) if counts.size else 0, 1)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     slot = np.arange(sorted_v.shape[0]) - np.repeat(starts, counts)
-    inv = np.full((n, dmax), l, np.int32)
-    inv[sorted_v, slot] = pos[order].astype(np.int32)
-    return inv
+
+    if slots is None:
+        s = dmax
+    else:
+        cands = np.arange(1, dmax + 1)
+        overflow = np.array(
+            [np.maximum(counts - c, 0).sum() for c in cands]
+        )
+        cost = (
+            n * cands * _GATHER_US_PER_KROW
+            + overflow * _SCATTER_US_PER_KROW
+        )
+        s = int(cands[int(np.argmin(cost))])
+
+    main = slot < s
+    inv = np.full((n, s), l, np.int32)
+    inv[sorted_v[main], slot[main]] = sorted_p[main]
+    extra_pos = sorted_p[~main]
+    extra_vert = sorted_v[~main].astype(np.int32)
+    return inv, extra_pos, extra_vert
+
+
+_EMPTY_I32 = None  # lazy module-level empty (jnp at import time is costly)
+
+
+def _empty_i32():
+    global _EMPTY_I32
+    if _EMPTY_I32 is None:
+        _EMPTY_I32 = jnp.zeros(0, jnp.int32)
+    return _EMPTY_I32
 
 
 @jax.custom_vjp
-def gather_rows_inv(
-    table: jnp.ndarray,  # (N, C)
-    idx: jnp.ndarray,  # (L,) int32, values < N
-    inv: jnp.ndarray,  # (N, dmax) int32 from build_inverse_incidence
-) -> jnp.ndarray:
-    """``table[idx]`` whose backward is a row gather, not a scatter-add."""
+def _gather_rows_inv_p(table, idx, inv, extra_pos, extra_vert):
     return table[idx]
 
 
-def _gri_fwd(table, idx, inv):
-    return table[idx], (inv, table.shape[1])
+def _gri_fwd(table, idx, inv, extra_pos, extra_vert):
+    return table[idx], (inv, extra_pos, extra_vert, table.shape[1])
 
 
 def _gri_bwd(res, g):
-    inv, c = res
+    inv, extra_pos, extra_vert, c = res
     gpad = jnp.concatenate([g, jnp.zeros((1, c), g.dtype)], axis=0)
-    n, dmax = inv.shape
-    dtable = jnp.sum(gpad[inv.reshape(-1)].reshape(n, dmax, c), axis=1)
-    return (dtable, None, None)
+    n, s = inv.shape
+    dtable = jnp.sum(gpad[inv.reshape(-1)].reshape(n, s, c), axis=1)
+    if extra_pos.shape[0]:
+        dtable = dtable.at[extra_vert].add(g[extra_pos])
+    return (dtable, None, None, None, None)
 
 
-gather_rows_inv.defvjp(_gri_fwd, _gri_bwd)
+_gather_rows_inv_p.defvjp(_gri_fwd, _gri_bwd)
+
+
+def gather_rows_inv(
+    table: jnp.ndarray,  # (N, C)
+    idx: jnp.ndarray,  # (L,) int32, values < N
+    inv: jnp.ndarray,  # (N, S) int32 from build_inverse_incidence[_split]
+    extra_pos: jnp.ndarray = None,  # (M,) overflow positions (optional)
+    extra_vert: jnp.ndarray = None,  # (M,) overflow target rows
+) -> jnp.ndarray:
+    """``table[idx]`` whose backward is a row gather, not a scatter-add.
+
+    With split tables the backward is the dense (N, S) gather-sum plus
+    one scatter-add for the M overflow positions.
+    """
+    if extra_pos is None:
+        extra_pos = extra_vert = _empty_i32()
+    return _gather_rows_inv_p(table, idx, inv, extra_pos, extra_vert)
