@@ -422,3 +422,37 @@ def test_gather_rows_inv_split_matches_plain():
         np.asarray(jax.grad(custom)(x)), np.asarray(jax.grad(plain)(x)),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_banded_window_conv_matches_dense():
+    """The 128-block banded conv equals the dense Toeplitz form exactly."""
+    from topo4d_tpu.losses import image as im
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.uniform(0, 1, (3, 150, 530)).astype(np.float32))
+    dense_max = im._DENSE_MAX
+    try:
+        im._DENSE_MAX = 4096
+        a = np.asarray(im._window_conv(x))
+        im._DENSE_MAX = 1  # force banded on both axes
+        b = np.asarray(im._window_conv(x))
+    finally:
+        im._DENSE_MAX = dense_max
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_ssim_banded_gradient_matches_dense():
+    from topo4d_tpu.losses import image as im
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.uniform(0, 1, (3, 140, 260)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(0, 1, (3, 140, 260)).astype(np.float32))
+    dense_max = im._DENSE_MAX
+    try:
+        im._DENSE_MAX = 4096
+        ga = np.asarray(jax.grad(lambda a: im.ssim(a, y))(x))
+        im._DENSE_MAX = 1
+        gb = np.asarray(jax.grad(lambda a: im.ssim(a, y))(x))
+    finally:
+        im._DENSE_MAX = dense_max
+    np.testing.assert_allclose(ga, gb, rtol=1e-4, atol=1e-7)

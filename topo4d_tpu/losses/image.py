@@ -77,15 +77,104 @@ def _band_matrix(size: int, window_size: int, sigma: float) -> jnp.ndarray:
     return jnp.where(inside, g[jnp.clip(off, 0, window_size - 1)], 0.0)
 
 
+_BLOCK = 128  # MXU-native tile; banded pass cost is 3*B per output element
+_DENSE_MAX = 512  # below this a single dense Toeplitz matmul is cheaper
+
+
+def _block_band_matrices(window_size: int, sigma: float):
+    """(TL, TC, TR) (B, B) blocks of the banded Toeplitz operator.
+
+    out[p] = sum_q g[q - p + half] x[q] split by 128-blocks: position a of
+    out-block i draws from in-blocks i-1/i/i+1 at rows b with coefficient
+    g[(q - p) + half]. Exact same coefficients as the dense matrix — at 4K
+    this turns the O(size^2) Toeplitz matmul into 3 B-wide matmuls per
+    block (~10-30x fewer FLOPs).
+    """
+    b = _BLOCK
+    g = jnp.asarray(_gaussian_1d(window_size, sigma))
+    half = window_size // 2
+    row = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)  # q within block
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)  # p within block
+
+    def band(shift):
+        off = row + shift - col + half
+        inside = (off >= 0) & (off < window_size)
+        return jnp.where(inside, g[jnp.clip(off, 0, window_size - 1)], 0.0)
+
+    return band(-b), band(0), band(b)
+
+
+def _banded_pass_last(x: jnp.ndarray, window_size: int, sigma: float):
+    """Banded 'same' conv along the LAST axis of (..., W), W % B == 0."""
+    tl, tc, tr = _block_band_matrices(window_size, sigma)
+    lead = x.shape[:-1]
+    nb = x.shape[-1] // _BLOCK
+    xb = x.reshape(lead + (nb, _BLOCK))
+    zero = jnp.zeros(lead + (1, _BLOCK), x.dtype)
+    xp = jnp.concatenate([zero, xb, zero], axis=-2)
+    out = (
+        jnp.einsum("...ib,ba->...ia", xp[..., :-2, :], tl,
+                   preferred_element_type=jnp.float32)
+        + jnp.einsum("...ib,ba->...ia", xb, tc,
+                     preferred_element_type=jnp.float32)
+        + jnp.einsum("...ib,ba->...ia", xp[..., 2:, :], tr,
+                     preferred_element_type=jnp.float32)
+    )
+    return out.reshape(lead + (nb * _BLOCK,))
+
+
+def _banded_pass_mid(x: jnp.ndarray, window_size: int, sigma: float):
+    """Banded 'same' conv along the MIDDLE axis of (C, H, W), H % B == 0.
+
+    Blocks H directly (no 4K-sized transposes): out[c, i·B+a, w] draws
+    from in-blocks i-1/i/i+1 with the same (TL, TC, TR) coefficients.
+    """
+    tl, tc, tr = _block_band_matrices(window_size, sigma)
+    c, h, w = x.shape
+    nb = h // _BLOCK
+    xb = x.reshape(c, nb, _BLOCK, w)
+    zero = jnp.zeros((c, 1, _BLOCK, w), x.dtype)
+    xp = jnp.concatenate([zero, xb, zero], axis=1)
+    out = (
+        jnp.einsum("ba,cibw->ciaw", tl, xp[:, :-2],
+                   preferred_element_type=jnp.float32)
+        + jnp.einsum("ba,cibw->ciaw", tc, xb,
+                     preferred_element_type=jnp.float32)
+        + jnp.einsum("ba,cibw->ciaw", tr, xp[:, 2:],
+                     preferred_element_type=jnp.float32)
+    )
+    return out.reshape(c, h, w)
+
+
 def _window_conv(
     img: jnp.ndarray, window_size: int = 11, sigma: float = 1.5
 ) -> jnp.ndarray:
-    """Depthwise 'same' Gaussian conv of (C, H, W) via banded matmuls."""
+    """Depthwise 'same' Gaussian conv of (C, H, W) via banded matmuls.
+
+    Small axes use one dense Toeplitz matmul (launch overhead dominates);
+    large axes (the 4K texture phase) use the 128-block banded form —
+    identical coefficients, ~10-30x fewer FLOPs (the dense form costs
+    O(size) per output element, the banded one O(3*128)).
+    """
     c, h, w = img.shape
-    th = _band_matrix(h, window_size, sigma)
-    tw = _band_matrix(w, window_size, sigma)
-    out = jnp.einsum("ij,cjk->cik", th, img, preferred_element_type=jnp.float32)
-    return jnp.einsum("cik,lk->cil", out, tw, preferred_element_type=jnp.float32)
+
+    def pass_axis(x, size, last):
+        if size <= _DENSE_MAX:
+            t = _band_matrix(size, window_size, sigma)
+            if last:
+                return jnp.einsum("cik,lk->cil", x, t,
+                                  preferred_element_type=jnp.float32)
+            return jnp.einsum("ij,cjk->cik", t, x,
+                              preferred_element_type=jnp.float32)
+        pad = (-size) % _BLOCK
+        if last:
+            xp = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+            return _banded_pass_last(xp, window_size, sigma)[:, :, :size]
+        xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        return _banded_pass_mid(xp, window_size, sigma)[:, :size, :]
+
+    out = pass_axis(img, h, last=False)
+    return pass_axis(out, w, last=True)
 
 
 def ssim(
