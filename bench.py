@@ -16,9 +16,18 @@ north-star (<= 5 s per tracked frame) to that — >= 1 means target met.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def _note(msg: str) -> None:
+    """Progress marker on stderr (stdout carries only the JSON line)."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def _bench_full_step() -> float:
@@ -88,6 +97,7 @@ def _bench_full_step() -> float:
         with_metrics=False,
     )
     jax.block_until_ready(m["loss_total"])
+    _note("track step compiled")
 
     # two-point fit: the tunnel charges a fixed ~30-40 ms per sync batch;
     # the marginal per-call cost is the true device step time (what a
@@ -106,6 +116,7 @@ def _bench_full_step() -> float:
     t1 = run(25)
     t2 = run(225)
     dt_nolog = (t2 - t1) / 200.0
+    _note("track loop timed")
 
     # amortize the ~3 logged iterations per 1100-iteration frame
     state, priors, m = trainer.step(
@@ -142,6 +153,7 @@ def main() -> None:
     from topo4d_tpu.testing import make_head_fixture
 
     params_np, cams, _ = make_head_fixture()
+    _note("fixture ready")
     cam0 = cams[0]
     h, w = cam0.height, cam0.width
     params = {k: jnp.asarray(v) for k, v in params_np.items()}
@@ -152,33 +164,48 @@ def main() -> None:
         lambda rv: render_gaussians_pallas(rv, cam0, max_span=2, chunk=128)
     )
     gt = jax.block_until_ready(render(rv0).image)
+    _note("render compiled + gt done")
 
     def loss_fn(params, gt):
         rv = activate_params(params)
         out = render_gaussians_pallas(rv, cam0, max_span=2, chunk=128)
         return photometric_loss(out.image, gt)
 
-    vg = jax.jit(jax.value_and_grad(loss_fn))
+    # the step must CARRY STATE (params nudged by its own grads) so every
+    # iteration has distinct inputs: repeated identical executions can be
+    # served from a result cache by the remote-execution tunnel, which
+    # once produced a fictitious 0.04 ms "render step"
+    @jax.jit
+    def vg(params, gt):
+        val, grads = jax.value_and_grad(loss_fn)(params, gt)
+        new_params = jax.tree_util.tree_map(
+            lambda p, g: p - 1e-12 * g, params, grads
+        )
+        return val, new_params
 
     # warmup / compile
-    val, grads = vg(params, gt)
-    jax.block_until_ready(grads)
+    val, params = vg(params, gt)
+    jax.block_until_ready(val)
+    _note("vg compiled")
 
     def run(iters):
+        nonlocal params
         t0 = time.perf_counter()
         for _ in range(iters):
-            val, grads = vg(params, gt)
-        jax.block_until_ready(grads)
+            val, params = vg(params, gt)
+        jax.block_until_ready(val)
         return time.perf_counter() - t0
 
     # two-point fit strips the tunnel's fixed per-sync cost (~30-40 ms)
     t1 = run(25)
     t2 = run(225)
     step_s = (t2 - t1) / 200.0
+    _note("render loop timed")
     mpix_s = h * w / step_s / 1e6
 
     # full tracking step at reference scale (all losses + Adam + scatters)
     full_dt = _bench_full_step()
+    _note("full step timed")
     sec_per_frame = full_dt * 1100
     target = 5.0
 

@@ -247,13 +247,15 @@ def _fwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tiles_x", "tiles_y", "chunk", "interpret")
+    jax.jit,
+    static_argnames=("tiles_x", "tiles_y", "chunk", "interpret", "tps"),
 )
 def _blend_fwd_impl(
-    packed, tile_start, tile_count, tiles_x, tiles_y, chunk, interpret=False
+    packed, tile_start, tile_count, tiles_x, tiles_y, chunk, interpret=False,
+    tps=None,
 ):
     t = tiles_x * tiles_y
-    tps = _tiles_per_step(t)
+    tps = tps or _tiles_per_step(t)
     pad_t = -(-t // tps) * tps
     if pad_t != t:
         # pad tile metadata so the grid divides evenly (extra tiles empty)
@@ -538,15 +540,15 @@ def _bwd_one_tile(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tiles_x", "tiles_y", "chunk", "interpret"),
+    static_argnames=("tiles_x", "tiles_y", "chunk", "interpret", "tps"),
 )
 def _blend_bwd_impl(
     packed, tile_start, tile_count, fwd_out, g_out, tiles_x, tiles_y, chunk,
-    interpret=False,
+    interpret=False, tps=None,
 ):
     t = tiles_x * tiles_y
     e_pad = packed.shape[1]
-    tps = _tiles_per_step(t)
+    tps = tps or _tiles_per_step(t)
     pad_t = -(-t // tps) * tps
     cend = fwd_out[:, 5, 0].astype(jnp.int32)  # forward residual row 5
     if pad_t != t:
