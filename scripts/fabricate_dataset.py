@@ -137,7 +137,30 @@ def fabricate(root, num_views=4, num_frames=2, rows=10, cols=10,
             Image.fromarray((im * 255).astype(np.uint8)).save(
                 os.path.join(fdir, f"view{v:02d}.png")
             )
-    print(f"fabricated dataset at {root}")
+
+    # full-resolution tree for the texture phase (-did <root>_dense):
+    # dense cameras are the working ones with intrinsics scaled by `ratio`
+    from topo4d_tpu.core.camera import Camera
+
+    dense_cams = Camera(
+        w2c=cams.w2c,
+        fx=np.asarray(cams.fx) * ratio, fy=np.asarray(cams.fy) * ratio,
+        cx=np.asarray(cams.cx) * ratio, cy=np.asarray(cams.cy) * ratio,
+        width=full_w, height=full_h,
+    )
+    dseq = os.path.join(root + "_dense", "seq01")
+    src_d = SyntheticSequence(params=params, cameras=dense_cams,
+                              num_frames=num_frames)
+    for t in range(1, num_frames + 1):
+        fd = src_d.frame(t)
+        fdir = os.path.join(dseq, "%06d" % t)
+        os.makedirs(fdir, exist_ok=True)
+        for v in range(num_views):
+            im = np.clip(fd.images[v].transpose(1, 2, 0), 0, 1)
+            Image.fromarray((im * 255).astype(np.uint8)).save(
+                os.path.join(fdir, f"view{v:02d}.png")
+            )
+    print(f"fabricated dataset at {root} (+ dense tree at {root}_dense)")
 
 
 if __name__ == "__main__":

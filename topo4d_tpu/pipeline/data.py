@@ -112,6 +112,17 @@ class DiskSequence:
             ori_h, ori_w = im.shape[:2]
             rt = data.rotate_mask.get(name, 0)
             im = rotate_image(im, rt * 90)
+            cam = self.cameras_full if full_res else self.cameras
+            if im.shape[:2] != (cam.height, cam.width):
+                raise ValueError(
+                    f"{path} is {im.shape[1]}x{im.shape[0]} but the "
+                    f"calibration at "
+                    f"{'dense_' if full_res else ''}down_ratio="
+                    f"{data.dense_down_ratio if full_res else data.down_ratio}"
+                    f" expects {cam.width}x{cam.height}; point "
+                    f"{'--dense_input_dir' if full_res else '--input_dir'} "
+                    f"at images of that size or adjust the ratio"
+                )
             images.append(im.transpose(2, 0, 1))
             if use_mask:
                 mpath = os.path.join(
