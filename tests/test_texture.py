@@ -159,3 +159,87 @@ def test_native_matches_jax_bake():
     jax_img = bake_texture(verts, tris, colors, h, w, window=8, bands=3)
     native_img = native_render(verts, tris, colors, h, w)
     np.testing.assert_allclose(jax_img, native_img, rtol=2e-2, atol=2e-3)
+
+
+def test_native_render_texture_matches_composition():
+    """render_texture == rasterize_triangles + independent numpy sampling."""
+    from topo4d_tpu.native import rasterize_triangles, render_texture
+
+    h = w = 40
+    verts, tris, _ = random_mesh(h, w, n_tris=25, seed=3)
+    rng = np.random.default_rng(7)
+    tex_h, tex_w = 16, 20
+    tex = rng.uniform(0, 1, (tex_h, tex_w, 3)).astype(np.float32)
+    # independent texture-vertex table (exercises tex_tris != tris indexing)
+    tex_coords = rng.uniform(
+        0, [tex_w - 1, tex_h - 1], (verts.shape[0], 2)
+    ).astype(np.float32)
+    perm = rng.permutation(verts.shape[0]).astype(np.int32)
+    tex_coords_shuf = np.empty_like(tex_coords)
+    tex_coords_shuf[perm] = tex_coords
+    tex_tris = perm[tris]
+
+    for bilinear in (False, True):
+        got = render_texture(
+            verts, tris, tex, tex_coords_shuf, tex_tris, h, w,
+            bilinear=bilinear,
+        )
+        depth, tri_id, bary = rasterize_triangles(verts, tris, h, w)
+        want = np.zeros((h, w, 3), np.float32)
+        for y in range(h):
+            for x in range(w):
+                t = tri_id[y, x]
+                if t < 0:
+                    continue
+                tc = tex_coords_shuf[tex_tris[t]]
+                p = bary[y, x] @ tc
+                px = min(max(p[0], 0.0), tex_w - 1)
+                py = min(max(p[1], 0.0), tex_h - 1)
+                if not bilinear:
+                    want[y, x] = tex[round(py), round(px)]
+                else:
+                    x0, x1 = int(np.floor(px)), int(np.ceil(px))
+                    y0, y1 = int(np.floor(py)), int(np.ceil(py))
+                    fx, fy = px - x0, py - y0
+                    want[y, x] = (
+                        tex[y0, x0] * (1 - fx) * (1 - fy)
+                        + tex[y0, x1] * fx * (1 - fy)
+                        + tex[y1, x0] * (1 - fx) * fy
+                        + tex[y1, x1] * fx * fy
+                    )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_batch_perspective_project_matches_single():
+    from topo4d_tpu.core.agisoft import (
+        batch_perspective_project,
+        perspective_project,
+    )
+
+    rng = np.random.default_rng(0)
+    b, n = 3, 50
+    pts = rng.normal(0, 1, (b, n, 3)).astype(np.float32)
+    pts[..., 2] += 4.0
+    ks = np.stack([
+        np.array([[400.0 + 10 * i, 0, 32], [0, 390.0, 24], [0, 0, 1]])
+        for i in range(b)
+    ]).astype(np.float32)
+    exts = []
+    for i in range(b):
+        th = 0.1 * i
+        r = np.array([
+            [np.cos(th), -np.sin(th), 0],
+            [np.sin(th), np.cos(th), 0],
+            [0, 0, 1],
+        ])
+        exts.append(np.hstack([r, np.array([[0.1 * i], [0.0], [1.0]])]))
+    exts = np.stack(exts).astype(np.float32)
+    dist = rng.uniform(-0.05, 0.05, (b, 2)).astype(np.float32)
+
+    got = np.asarray(batch_perspective_project(pts, ks, exts, dist))
+    assert got.shape == (b, n, 2)
+    for i in range(b):
+        want = perspective_project(
+            pts[i].astype(np.float64), ks[i], exts[i], dist[i]
+        )[:, :2]
+        np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-3)

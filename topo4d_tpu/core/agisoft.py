@@ -202,6 +202,37 @@ def perspective_project(
     return (intrinsics @ img.T).T
 
 
+def batch_perspective_project(
+    points,
+    intrinsics,
+    extrinsics,
+    radial_distortion,
+    eps: float = 1e-7,
+):
+    """Batched distorted projection -> (B, N, 2) (camera.py:289-322).
+
+    Jittable jnp re-design of the reference's torch ``bmm`` variant: one
+    einsum per transform instead of batched matmuls over transposes.
+    Accepts (B, N, 3) points with (B, 3, 4) extrinsics, (B, 3, 3)
+    intrinsics, (B, 2) distortion.
+    """
+    import jax.numpy as jnp
+
+    pts = jnp.asarray(points)
+    cam = jnp.einsum("bij,bnj->bni", jnp.asarray(extrinsics)[:, :, :3], pts)
+    cam = cam + jnp.asarray(extrinsics)[:, None, :, 3]
+    z = cam[..., 2]
+    z = jnp.where(jnp.abs(z) < eps, 1.0, z)
+    x, y = cam[..., 0] / z, cam[..., 1] / z
+    k1 = jnp.asarray(radial_distortion)[:, 0:1]
+    k2 = jnp.asarray(radial_distortion)[:, 1:2]
+    r2 = x * x + y * y
+    f = 1.0 + k1 * r2 + k2 * r2 * r2
+    ndc = jnp.stack([x * f, y * f, jnp.ones_like(z)], axis=-1)
+    img = jnp.einsum("bij,bnj->bni", jnp.asarray(intrinsics), ndc)
+    return img[..., :2]
+
+
 def scale_image(image: np.ndarray, scale_factor: float, camera=None):
     """Downscale an image and (optionally) its intrinsics (camera.py:246-254).
 

@@ -61,6 +61,11 @@ def _lib() -> ctypes.CDLL:
             lib.vertex_normals.argtypes = [
                 f32p, ctypes.c_int, i32p, ctypes.c_int, f32p,
             ]
+            lib.render_texture.argtypes = [
+                f32p, ctypes.c_int, i32p, ctypes.c_int, f32p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p, i32p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p,
+            ]
             _LIB = lib
         return _LIB
 
@@ -97,6 +102,36 @@ def rasterize_triangles(
         verts, verts.shape[0], tris, tris.shape[0], h, w, depth, tri, bary
     )
     return depth, tri, bary
+
+
+def render_texture(
+    vertices: np.ndarray,  # (V, 3) pixel-space coords + z
+    triangles: np.ndarray,  # (F, 3) int
+    texture: np.ndarray,  # (TH, TW, C)
+    tex_coords: np.ndarray,  # (TV, 2) texture-PIXEL coords
+    tex_triangles: np.ndarray,  # (F, 3) int into tex_coords
+    h: int,
+    w: int,
+    bilinear: bool = True,
+) -> np.ndarray:
+    """Texture-mapped z-buffer render -> (H, W, C) float32.
+
+    The reference's ``_render_texture_core`` capability
+    (mesh_core.cpp:237-336) with consistent texture-triangle indexing
+    (see scanline.cpp for the documented deviation).
+    """
+    verts = np.ascontiguousarray(vertices, np.float32)
+    tris = np.ascontiguousarray(triangles, np.int32)
+    tex = np.ascontiguousarray(texture, np.float32)
+    tc = np.ascontiguousarray(tex_coords, np.float32)
+    ttris = np.ascontiguousarray(tex_triangles, np.int32)
+    th, tw, c = tex.shape
+    out = np.zeros((h, w, c), np.float32)
+    _lib().render_texture(
+        verts, verts.shape[0], tris, tris.shape[0], tex, th, tw, c,
+        tc, ttris, h, w, int(bilinear), out,
+    )
+    return out
 
 
 def vertex_normals(vertices: np.ndarray, triangles: np.ndarray) -> np.ndarray:

@@ -138,6 +138,79 @@ void rasterize_triangles(const float* verts, int n_verts, const int* tris,
   }
 }
 
+void render_texture(const float* verts, int n_verts, const int* tris,
+                    int n_tris, const float* tex, int tex_h, int tex_w,
+                    int channels, const float* tex_coords,
+                    const int* tex_tris, int h, int w, int bilinear,
+                    float* out /* h*w*channels, caller-zeroed */) {
+  // Texture-mapped z-buffer render (the reference's _render_texture_core,
+  // mesh_core.cpp:237-336): pixel color sampled from `tex` at the
+  // barycentric interpolation of the visible triangle's UV-pixel coords.
+  // Deviation (documented): the reference mixes mesh- and texture-triangle
+  // indices when reading tex_coords y (mesh_core.cpp:273-275); here
+  // tex_coords is indexed by tex_tris consistently.
+  (void)n_verts;
+  double* depth = new double[(size_t)h * w];
+  std::fill(depth, depth + (size_t)h * w, -999999.0);
+
+  for (int i = 0; i < n_tris; ++i) {
+    const int i0 = tris[i * 3 + 0];
+    const int i1 = tris[i * 3 + 1];
+    const int i2 = tris[i * 3 + 2];
+    const double p0[3] = {verts[i0 * 3], verts[i0 * 3 + 1], verts[i0 * 3 + 2]};
+    const double p1[3] = {verts[i1 * 3], verts[i1 * 3 + 1], verts[i1 * 3 + 2]};
+    const double p2[3] = {verts[i2 * 3], verts[i2 * 3 + 1], verts[i2 * 3 + 2]};
+    const int t0 = tex_tris[i * 3 + 0];
+    const int t1 = tex_tris[i * 3 + 1];
+    const int t2 = tex_tris[i * 3 + 2];
+
+    int umin = std::max((int)std::ceil(std::min({p0[0], p1[0], p2[0]})), 0);
+    int umax = std::min((int)std::floor(std::max({p0[0], p1[0], p2[0]})), w - 1);
+    int vmin = std::max((int)std::ceil(std::min({p0[1], p1[1], p2[1]})), 0);
+    int vmax = std::min((int)std::floor(std::max({p0[1], p1[1], p2[1]})), h - 1);
+    if (umax < umin || vmax < vmin) continue;
+
+    for (int u = umin; u <= umax; ++u) {
+      for (int v = vmin; v <= vmax; ++v) {
+        const Bary bw = barycentric((double)u, (double)v, p0, p1, p2);
+        if (!inside(bw)) continue;
+        const double z = bw.w0 * p0[2] + bw.w1 * p1[2] + bw.w2 * p2[2];
+        double* d = &depth[(size_t)v * w + u];
+        if (z <= *d) continue;
+        *d = z;
+        double tx = bw.w0 * tex_coords[t0 * 2] + bw.w1 * tex_coords[t1 * 2] +
+                    bw.w2 * tex_coords[t2 * 2];
+        double ty = bw.w0 * tex_coords[t0 * 2 + 1] +
+                    bw.w1 * tex_coords[t1 * 2 + 1] +
+                    bw.w2 * tex_coords[t2 * 2 + 1];
+        tx = std::max(std::min(tx, (double)(tex_w - 1)), 0.0);
+        ty = std::max(std::min(ty, (double)(tex_h - 1)), 0.0);
+        float* px = &out[((size_t)v * w + u) * channels];
+        if (!bilinear) {
+          const int sx = (int)std::lround(tx);
+          const int sy = (int)std::lround(ty);
+          const float* t = &tex[((size_t)sy * tex_w + sx) * channels];
+          for (int c = 0; c < channels; ++c) px[c] = t[c];
+        } else {
+          const int x0 = (int)std::floor(tx), x1 = (int)std::ceil(tx);
+          const int y0 = (int)std::floor(ty), y1 = (int)std::ceil(ty);
+          const double fx = tx - x0, fy = ty - y0;
+          const float* ul = &tex[((size_t)y0 * tex_w + x0) * channels];
+          const float* ur = &tex[((size_t)y0 * tex_w + x1) * channels];
+          const float* dl = &tex[((size_t)y1 * tex_w + x0) * channels];
+          const float* dr = &tex[((size_t)y1 * tex_w + x1) * channels];
+          for (int c = 0; c < channels; ++c) {
+            px[c] = (float)(ul[c] * (1 - fx) * (1 - fy) +
+                            ur[c] * fx * (1 - fy) + dl[c] * (1 - fx) * fy +
+                            dr[c] * fx * fy);
+          }
+        }
+      }
+    }
+  }
+  delete[] depth;
+}
+
 void vertex_normals(const float* verts, int n_verts, const int* tris,
                     int n_tris, float* out /* n_verts*3, caller-zeroed */) {
   for (int i = 0; i < n_tris; ++i) {
