@@ -92,6 +92,17 @@ def test_pipeline_produces_outputs(tiny_setup):
     assert len(lines) > 3
     row = json.loads(lines[0])
     assert np.isfinite(row["loss_total"])
+    # per-frame summary rows carry throughput counters
+    summaries = [
+        json.loads(l) for l in lines if json.loads(l).get("summary")
+    ]
+    assert len(summaries) == 3
+    assert all(s["mpix_per_s"] > 0 for s in summaries)
+    # phase timings written by the profiling subsystem
+    timings = json.load(open(os.path.join(out, "timings.json")))
+    for phase in ("geometry", "texture", "checkpoint", "export"):
+        assert timings[phase]["count"] == 3, phase
+        assert timings[phase]["seconds"] > 0
 
 
 def test_topology_bitwise_stable_across_frames(tiny_setup):

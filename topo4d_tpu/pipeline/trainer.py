@@ -45,6 +45,7 @@ from topo4d_tpu.pipeline.scene import (
 )
 from topo4d_tpu.texture.dense import TextureState, make_texture_step
 from topo4d_tpu.topology.interpolate import interpolate_dense_attribute
+from topo4d_tpu.utils.profiling import PhaseTimer, device_trace, mpix_per_s
 
 
 def _cpu_device():
@@ -161,6 +162,7 @@ class Trainer:
         self.dense_anchor = None
         self.texture_step = None
         self.metrics_log: List[Dict] = []
+        self.timer = PhaseTimer()
         self._weights_cache: Dict[str, Dict[str, jnp.ndarray]] = {}
         self._lrs_cache: Dict[str, Dict[str, jnp.ndarray]] = {}
         self._out_dir = os.path.join(
@@ -359,54 +361,79 @@ class Trainer:
                         jnp.asarray, payload["texture_state"]
                     )
 
-        for t in range(start_frame, cfg.schedule.frame_num):
-            t_start = time.time()
-            frame_data = self.source.frame(t + 1)
-            if frame_data is None:
-                break
-            geo = self.fit_frame_geometry(t, frame_data)
-
-            if cfg.texture.gen_tex and self.statics.dense is not None:
-                tex_data = self.source.frame(t + 1, full_res=True)
-                if tex_data is not None:
-                    self.fit_frame_texture(t, tex_data)
-
-            self.output_params.append(
-                ckpt.params_snapshot(self.state.params, t == 0)
-            )
-            if t == 0:
-                self.first_frame_attrs = cache_first_frame_attrs(
-                    self.state.params, self.statics.regions
+        with device_trace() as tracing:
+            if tracing:
+                print(f"[topo4d] jax.profiler trace enabled")
+            for t in range(start_frame, cfg.schedule.frame_num):
+                t_start = time.time()
+                frame_data = self.source.frame(t + 1)
+                if frame_data is None:
+                    break
+                geo_t0 = time.perf_counter()
+                with self.timer.phase("geometry"):
+                    geo = self.fit_frame_geometry(t, frame_data)
+                num_iters = (
+                    cfg.schedule.init_opt_num if t == 0
+                    else cfg.schedule.opt_num
                 )
+                geo["mpix_per_s"] = round(mpix_per_s(
+                    self.source.cameras.height, self.source.cameras.width,
+                    num_iters, time.perf_counter() - geo_t0,
+                ), 3)
 
-            if t % cfg.schedule.ckp_freq == 0 and t != 0:
-                ckpt.save_params(self.output_params, self._out_dir)
-                ckpt.write_loss_json(
-                    self._out_dir,
-                    {k: True for k in self.statics.quadruples},
-                    self.cfg.weights.as_dict(),
+                if cfg.texture.gen_tex and self.statics.dense is not None:
+                    tex_data = self.source.frame(t + 1, full_res=True)
+                    if tex_data is not None:
+                        with self.timer.phase("texture"):
+                            self.fit_frame_texture(t, tex_data)
+
+                self.output_params.append(
+                    ckpt.params_snapshot(self.state.params, t == 0)
                 )
-            ckpt.save_resume(
-                self._out_dir, t + 1, self.state, self.priors,
-                self.first_frame_attrs, self.output_params,
-                self.texture_state,
-            )
+                if t == 0:
+                    self.first_frame_attrs = cache_first_frame_attrs(
+                        self.state.params, self.statics.regions
+                    )
 
-            save_mesh(
-                os.path.join(self._out_dir, "%06d" % (t + 1)),
-                self.state.params,
-                self.statics,
-                t + 1,
-                dense_params=(
-                    self.texture_state.params if self.texture_state else None
-                ),
-                tex_res=cfg.texture.tex_res,
-                gen_texture=cfg.texture.gen_tex,
-                bake_window=cfg.texture.bake_window,
-                bake_bands=cfg.texture.bake_bands,
-            )
-            geo["frame_seconds"] = time.time() - t_start
-            self._write_metrics()
+                with self.timer.phase("checkpoint"):
+                    if t % cfg.schedule.ckp_freq == 0 and t != 0:
+                        ckpt.save_params(self.output_params, self._out_dir)
+                        ckpt.write_loss_json(
+                            self._out_dir,
+                            {k: True for k in self.statics.quadruples},
+                            self.cfg.weights.as_dict(),
+                        )
+                    ckpt.save_resume(
+                        self._out_dir, t + 1, self.state, self.priors,
+                        self.first_frame_attrs, self.output_params,
+                        self.texture_state,
+                    )
+
+                with self.timer.phase("export"):
+                    save_mesh(
+                        os.path.join(self._out_dir, "%06d" % (t + 1)),
+                        self.state.params,
+                        self.statics,
+                        t + 1,
+                        dense_params=(
+                            self.texture_state.params
+                            if self.texture_state else None
+                        ),
+                        tex_res=cfg.texture.tex_res,
+                        gen_texture=cfg.texture.gen_tex,
+                        bake_window=cfg.texture.bake_window,
+                        bake_bands=cfg.texture.bake_bands,
+                    )
+                geo["frame_seconds"] = round(time.time() - t_start, 4)
+                self.metrics_log.append(
+                    {"frame": t, "summary": True,
+                     "frame_seconds": geo["frame_seconds"],
+                     "mpix_per_s": geo["mpix_per_s"]}
+                )
+                self._write_metrics()
+                self.timer.write(
+                    os.path.join(self._out_dir, "timings.json")
+                )
 
         # final params.npz regardless of ckp_freq (the reference only saves
         # every 5 frames, so short runs end with no params at all)

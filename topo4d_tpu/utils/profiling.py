@@ -1,0 +1,104 @@
+"""Tracing / profiling subsystem (SURVEY §5: absent in the reference).
+
+Three tools:
+
+- ``PhaseTimer`` — wall-clock accumulator for named pipeline phases
+  (geometry / texture / export / checkpoint), written per run as
+  ``timings.json`` next to ``metrics.jsonl``.
+- ``device_trace`` — context manager around ``jax.profiler.trace`` gated on
+  the ``TOPO4D_PROFILE_DIR`` env var (or an explicit logdir), producing
+  XLA/TPU traces viewable in TensorBoard/Perfetto. A no-op when disabled or
+  when the backend cannot trace (e.g. the tunneled test TPU).
+- ``mpix_per_s`` — the throughput counter used by bench.py and the trainer
+  (pixels pushed through forward+backward per second).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import time
+from typing import Dict, Iterator, Optional
+
+
+class PhaseTimer:
+    """Accumulates wall-clock seconds per named phase.
+
+    >>> timer = PhaseTimer()
+    >>> with timer.phase("geometry"):
+    ...     ...
+    >>> timer.summary()["geometry"]["seconds"]
+    """
+
+    def __init__(self) -> None:
+        self._total: Dict[str, float] = {}
+        self._count: Dict[str, int] = {}
+
+    @contextlib.contextmanager
+    def phase(self, name: str) -> Iterator[None]:
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self._total[name] = self._total.get(name, 0.0) + dt
+            self._count[name] = self._count.get(name, 0) + 1
+
+    def add(self, name: str, seconds: float) -> None:
+        self._total[name] = self._total.get(name, 0.0) + seconds
+        self._count[name] = self._count.get(name, 0) + 1
+
+    def summary(self) -> Dict[str, Dict[str, float]]:
+        return {
+            name: {
+                "seconds": round(self._total[name], 4),
+                "count": self._count[name],
+                "mean_seconds": round(
+                    self._total[name] / max(self._count[name], 1), 4
+                ),
+            }
+            for name in sorted(self._total)
+        }
+
+    def write(self, path: str) -> None:
+        with open(path, "w") as fh:
+            json.dump(self.summary(), fh, indent=2)
+
+
+@contextlib.contextmanager
+def device_trace(logdir: Optional[str] = None) -> Iterator[bool]:
+    """Capture a jax.profiler trace when enabled; yields whether tracing.
+
+    Enabled when ``logdir`` is given or ``TOPO4D_PROFILE_DIR`` is set.
+    Trace failures (unsupported backend) degrade to a no-op rather than
+    aborting a training run.
+    """
+    logdir = logdir or os.environ.get("TOPO4D_PROFILE_DIR")
+    if not logdir:
+        yield False
+        return
+    import jax
+
+    try:
+        jax.profiler.start_trace(logdir)
+    except Exception as exc:  # backend without profiler support
+        print(f"[topo4d] profiler trace unavailable: {exc}")
+        yield False
+        return
+    try:
+        yield True
+    finally:
+        try:
+            jax.profiler.stop_trace()
+        except Exception as exc:
+            print(f"[topo4d] profiler stop_trace failed: {exc}")
+
+
+def mpix_per_s(
+    height: int, width: int, iterations: int, seconds: float
+) -> float:
+    """Throughput counter: Mpixels through fwd+bwd per second."""
+    if seconds <= 0:
+        return 0.0
+    return height * width * iterations / seconds / 1e6
