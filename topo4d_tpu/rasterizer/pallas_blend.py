@@ -125,6 +125,37 @@ def _window_bounds(start, count, chunk):
     return first, jnp.maximum(last - first, 0)
 
 
+def _fwd_window(data, px, py, tile_f, u_prefix, t_un, acc, chunk):
+    """One forward window: blend ``data`` into (t_un, t_fr_min, acc).
+
+    Returns (t_un_out, window_t_fr, acc_out) where window_t_fr is the
+    min surviving inclusive transmittance of this window (1 where none).
+    """
+    alpha, _, _, _, _ = _chunk_terms(data, px, py, tile_f)
+    log1m = jnp.log1p(-alpha)
+    s_excl = jax.lax.dot(
+        log1m, u_prefix, preferred_element_type=jnp.float32
+    )  # (PX, chunk) exclusive prefix along entries
+    t_excl_l = jnp.exp(s_excl)
+    t_incl_l = t_excl_l * (1.0 - alpha)
+    t_excl = t_un * t_excl_l
+    t_incl = t_un * t_incl_l
+    keep2 = t_incl >= TRANSMITTANCE_MIN
+    w = alpha * t_excl * jnp.where(keep2, 1.0, 0.0)  # (PX, chunk)
+    feat = data[8:16, :]  # (8, chunk)
+    acc = acc + jax.lax.dot_general(
+        w,
+        feat,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (PX, 8)
+    t_un_out = t_incl[:, chunk - 1 : chunk]
+    t_fr = jnp.min(
+        jnp.where(keep2, t_incl, 1.0), axis=1, keepdims=True
+    )
+    return t_un_out, t_fr, acc
+
+
 def _fwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
     def kernel(start_ref, count_ref, packed_hbm, out_ref, buf, scal, sem):
         step = pl.program_id(0)
@@ -160,88 +191,90 @@ def _fwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
             def _():
                 get_dma(base, 0).start()
 
-            def cond(state, k=k):
-                c, t_un, t_fr, acc = state
-                return jnp.logical_and(
-                    c < k, jnp.max(t_un) >= TRANSMITTANCE_MIN
-                )
-
-            def body(state, k=k, px=px, py=py, tile_f=tile_f,
-                     get_dma=get_dma, hit=hit, base=base):
-                c, t_un, t_fr, acc = state
-                slot = jax.lax.rem(c + base, 2)
-
-                @pl.when(c + 1 < k)
-                def _():
-                    get_dma(1 - slot, c + 1).start()
-
-                # cache hit: window 0's DMA was waited by a previous tile
-                @pl.when(jnp.logical_or(c > 0, jnp.logical_not(hit)))
-                def _():
-                    get_dma(slot, c).wait()
-                data = buf[slot]
-                alpha, _, _, _, _ = _chunk_terms(data, px, py, tile_f)
-                log1m = jnp.log1p(-alpha)
-                s_excl = jax.lax.dot(
-                    log1m, u_prefix, preferred_element_type=jnp.float32
-                )  # (PX, chunk) exclusive prefix along entries
-                t_excl_l = jnp.exp(s_excl)
-                t_incl_l = t_excl_l * (1.0 - alpha)
-                t_excl = t_un * t_excl_l
-                t_incl = t_un * t_incl_l
-                keep2 = t_incl >= TRANSMITTANCE_MIN
-                w = alpha * t_excl * jnp.where(keep2, 1.0, 0.0)  # (PX, chunk)
-                feat = data[8:16, :]  # (8, chunk)
-                acc = acc + jax.lax.dot_general(
-                    w,
-                    feat,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (PX, 8)
-                t_un = t_incl[:, chunk - 1 : chunk]
-                t_fr = jnp.minimum(
-                    t_fr,
-                    jnp.min(
-                        jnp.where(keep2, t_incl, 1.0), axis=1, keepdims=True
-                    ),
-                )
-                return (c + 1, t_un, t_fr, acc)
-
             ones = jnp.ones((PX, 1), jnp.float32)
             acc0 = jnp.zeros((PX, 8), jnp.float32)
-            c_end, t_un, t_fr, acc = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), ones, ones, acc0)
-            )
 
-            # early termination leaves one prefetched DMA in flight — drain
-            # it (scratch/semaphores persist across grid steps)
-            @pl.when(jnp.logical_and(c_end < k, c_end > 0))
-            def _():
-                get_dma(jax.lax.rem(c_end + base, 2), c_end).wait()
+            # fast path: at geometry scale most tiles fit one window —
+            # no prefetch, no while-loop state machine, no drain
+            @pl.when(k == 1)
+            def _(px=px, py=py, tile_f=tile_f, get_dma=get_dma, hit=hit,
+                  base=base, first=first):
+                @pl.when(jnp.logical_not(hit))
+                def _():
+                    get_dma(base, 0).wait()
+                t_un, t_fr, acc = _fwd_window(
+                    buf[base], px, py, tile_f, u_prefix, ones, acc0, chunk
+                )
+                out = jnp.concatenate(
+                    [acc[:, 0:4], t_fr, ones, t_un,
+                     jnp.zeros((PX, 1), jnp.float32)],
+                    axis=1,
+                )
+                out_ref[t_off] = out.T
+                scal[0] = first
+                scal[1] = base
 
-            # record the last window whose DMA completed (the drained
-            # prefetch, or the last processed window) for the next tile
-            @pl.when(k > 0)
-            def _():
-                last_c = jnp.where(c_end < k, c_end, k - 1)
-                scal[0] = first + last_c
-                scal[1] = jax.lax.rem(last_c + base, 2)
+            @pl.when(k != 1)
+            def _(k=k, px=px, py=py, tile_f=tile_f, get_dma=get_dma,
+                  hit=hit, base=base, first=first):
+                def cond(state):
+                    c, t_un, t_fr, acc = state
+                    return jnp.logical_and(
+                        c < k, jnp.max(t_un) >= TRANSMITTANCE_MIN
+                    )
 
-            # rows 5/6 carry backward residuals: the number of windows the
-            # forward actually processed (early termination) and the raw
-            # final transmittance carry (reverse reconstruction seed)
-            c_end_col = jnp.broadcast_to(
-                c_end.astype(jnp.float32), (PX, 1)
-            )
-            out = jnp.concatenate(
-                [acc[:, 0:4], t_fr, c_end_col, t_un,
-                 jnp.zeros((PX, 1), jnp.float32)],
-                axis=1,
-            )
-            # transpose to (8, PX): a (T, PX, 8) output buffer gets its
-            # minor dim padded to 128 lanes by XLA in the backward epilogue
-            # (16x memory, OOM at 4K); (T, 8, PX) lays out clean
-            out_ref[t_off] = out.T
+                def body(state):
+                    c, t_un, t_fr, acc = state
+                    slot = jax.lax.rem(c + base, 2)
+
+                    @pl.when(c + 1 < k)
+                    def _():
+                        get_dma(1 - slot, c + 1).start()
+
+                    # cache hit: window 0's DMA was waited by a previous
+                    # tile
+                    @pl.when(jnp.logical_or(c > 0, jnp.logical_not(hit)))
+                    def _():
+                        get_dma(slot, c).wait()
+                    t_un, w_fr, acc = _fwd_window(
+                        buf[slot], px, py, tile_f, u_prefix, t_un, acc,
+                        chunk,
+                    )
+                    return (c + 1, t_un, jnp.minimum(t_fr, w_fr), acc)
+
+                c_end, t_un, t_fr, acc = jax.lax.while_loop(
+                    cond, body, (jnp.int32(0), ones, ones, acc0)
+                )
+
+                # early termination leaves one prefetched DMA in flight —
+                # drain it (scratch/semaphores persist across grid steps)
+                @pl.when(jnp.logical_and(c_end < k, c_end > 0))
+                def _():
+                    get_dma(jax.lax.rem(c_end + base, 2), c_end).wait()
+
+                # record the last window whose DMA completed (the drained
+                # prefetch, or the last processed window) for the next tile
+                @pl.when(k > 0)
+                def _():
+                    last_c = jnp.where(c_end < k, c_end, k - 1)
+                    scal[0] = first + last_c
+                    scal[1] = jax.lax.rem(last_c + base, 2)
+
+                # rows 5/6 carry backward residuals: the number of windows
+                # the forward actually processed (early termination) and
+                # the raw final transmittance carry (reverse seed)
+                c_end_col = jnp.broadcast_to(
+                    c_end.astype(jnp.float32), (PX, 1)
+                )
+                out = jnp.concatenate(
+                    [acc[:, 0:4], t_fr, c_end_col, t_un,
+                     jnp.zeros((PX, 1), jnp.float32)],
+                    axis=1,
+                )
+                # transpose to (8, PX): a (T, PX, 8) output buffer gets its
+                # minor dim padded to 128 lanes by XLA in the backward
+                # epilogue (16x memory, OOM at 4K); (T, 8, PX) lays clean
+                out_ref[t_off] = out.T
 
     return kernel
 
