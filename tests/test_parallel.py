@@ -169,3 +169,37 @@ def test_shard_map_pallas_matches_unsharded():
         np.asarray(new_p.params["means3D"]),
         rtol=1e-3, atol=1e-6,
     )
+
+
+def test_multihost_single_process_noop(monkeypatch):
+    from topo4d_tpu.parallel import multihost
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.setattr(multihost.initialize_multihost, "_done", False,
+                        raising=False)
+    assert multihost.initialize_multihost() is False
+    # idempotent
+    assert multihost.initialize_multihost() is False
+    assert multihost.is_host0() is True
+
+
+def test_multihost_env_parsing(monkeypatch):
+    from topo4d_tpu.parallel import multihost
+
+    calls = {}
+    monkeypatch.setattr(
+        multihost.jax.distributed, "initialize",
+        lambda **kw: calls.update(kw),
+    )
+    monkeypatch.setattr(multihost.initialize_multihost, "_done", False,
+                        raising=False)
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "2")
+    assert multihost.initialize_multihost() is True
+    assert calls == {
+        "coordinator_address": "10.0.0.1:1234",
+        "num_processes": 4,
+        "process_id": 2,
+    }
+    multihost.initialize_multihost._done = False

@@ -95,6 +95,12 @@ def main(argv=None) -> None:
     args = build_argparser().parse_args(argv)
     cfg = config_from_args(args)
 
+    # multi-host: every host runs the same program; jax.distributed wires
+    # the global device set when the env is configured (no-op otherwise)
+    from topo4d_tpu.parallel.multihost import initialize_multihost
+
+    initialize_multihost()
+
     out_dir = os.path.join(cfg.data.output_dir, cfg.data.exp, cfg.data.seq)
     if os.path.exists(out_dir) and args.no_resume:
         print(

@@ -45,6 +45,7 @@ from topo4d_tpu.pipeline.scene import (
 )
 from topo4d_tpu.texture.dense import TextureState, make_texture_step
 from topo4d_tpu.topology.interpolate import interpolate_dense_attribute
+from topo4d_tpu.parallel.multihost import is_host0
 from topo4d_tpu.utils.profiling import PhaseTimer, device_trace, mpix_per_s
 
 
@@ -342,7 +343,11 @@ class Trainer:
     # ------------------------------------------------------------------
     def run(self, resume: bool = True) -> None:
         cfg = self.cfg
-        os.makedirs(self._out_dir, exist_ok=True)
+        # multi-host: compute runs on every process (same jitted program,
+        # global arrays); disk IO belongs to host 0 alone
+        io = is_host0()
+        if io:
+            os.makedirs(self._out_dir, exist_ok=True)
         start_frame = 0
         if resume:
             payload = ckpt.load_resume(self._out_dir)
@@ -396,48 +401,51 @@ class Trainer:
                     )
 
                 with self.timer.phase("checkpoint"):
-                    if t % cfg.schedule.ckp_freq == 0 and t != 0:
+                    if io and t % cfg.schedule.ckp_freq == 0 and t != 0:
                         ckpt.save_params(self.output_params, self._out_dir)
                         ckpt.write_loss_json(
                             self._out_dir,
                             {k: True for k in self.statics.quadruples},
                             self.cfg.weights.as_dict(),
                         )
-                    ckpt.save_resume(
-                        self._out_dir, t + 1, self.state, self.priors,
-                        self.first_frame_attrs, self.output_params,
-                        self.texture_state,
-                    )
+                    if io:
+                        ckpt.save_resume(
+                            self._out_dir, t + 1, self.state, self.priors,
+                            self.first_frame_attrs, self.output_params,
+                            self.texture_state,
+                        )
 
                 with self.timer.phase("export"):
-                    save_mesh(
-                        os.path.join(self._out_dir, "%06d" % (t + 1)),
-                        self.state.params,
-                        self.statics,
-                        t + 1,
-                        dense_params=(
-                            self.texture_state.params
-                            if self.texture_state else None
-                        ),
-                        tex_res=cfg.texture.tex_res,
-                        gen_texture=cfg.texture.gen_tex,
-                        bake_window=cfg.texture.bake_window,
-                        bake_bands=cfg.texture.bake_bands,
-                    )
+                    if io:
+                        save_mesh(
+                            os.path.join(self._out_dir, "%06d" % (t + 1)),
+                            self.state.params,
+                            self.statics,
+                            t + 1,
+                            dense_params=(
+                                self.texture_state.params
+                                if self.texture_state else None
+                            ),
+                            tex_res=cfg.texture.tex_res,
+                            gen_texture=cfg.texture.gen_tex,
+                            bake_window=cfg.texture.bake_window,
+                            bake_bands=cfg.texture.bake_bands,
+                        )
                 geo["frame_seconds"] = round(time.time() - t_start, 4)
                 self.metrics_log.append(
                     {"frame": t, "summary": True,
                      "frame_seconds": geo["frame_seconds"],
                      "mpix_per_s": geo["mpix_per_s"]}
                 )
-                self._write_metrics()
-                self.timer.write(
-                    os.path.join(self._out_dir, "timings.json")
-                )
+                if io:
+                    self._write_metrics()
+                    self.timer.write(
+                        os.path.join(self._out_dir, "timings.json")
+                    )
 
         # final params.npz regardless of ckp_freq (the reference only saves
         # every 5 frames, so short runs end with no params at all)
-        if self.output_params:
+        if io and self.output_params:
             ckpt.save_params(self.output_params, self._out_dir)
 
     def _write_metrics(self):
