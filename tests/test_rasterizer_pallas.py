@@ -108,3 +108,50 @@ def test_pallas_means2d_offset_gradient(scene):
     arr = np.asarray(g)
     assert np.isfinite(arr).all()
     assert np.abs(arr).max() > 0
+
+
+def test_cached_binning_matches_direct(scene):
+    """Frozen-permutation packing == sort-with-data packing: pixels + grads."""
+    from topo4d_tpu.rasterizer.pallas import binning_for
+
+    params, rv, cam = scene
+    bg = jnp.asarray([0.2, 0.1, 0.4])
+    binning = binning_for(rv, cam, max_span=8)
+
+    direct = render_gaussians_pallas(
+        rv, cam, bg=bg, max_span=8, chunk=128, interpret=True
+    )
+    cached = render_gaussians_pallas(
+        rv, cam, bg=bg, max_span=8, chunk=128, interpret=True,
+        binning=binning,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cached.image), np.asarray(direct.image),
+        rtol=1e-6, atol=1e-7,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(cached.num_cropped), np.asarray(direct.num_cropped)
+    )
+
+    rng = np.random.default_rng(1)
+    target = jnp.asarray(
+        rng.uniform(0, 1, (3, cam.height, cam.width)).astype(np.float32)
+    )
+
+    def loss(params, binning):
+        out = render_gaussians_pallas(
+            activate_params(params), cam, bg=bg, max_span=8, chunk=128,
+            interpret=True, binning=binning,
+        )
+        return jnp.mean(jnp.abs(out.image - target)) + 0.05 * jnp.mean(
+            out.alpha
+        )
+
+    g_direct = jax.grad(loss)(params, None)
+    g_cached = jax.grad(loss)(params, binning)
+    for k in g_direct:
+        a, b = np.asarray(g_direct[k]), np.asarray(g_cached[k])
+        scale = np.maximum(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(
+            b / scale, a / scale, rtol=1e-4, atol=1e-6, err_msg=k
+        )

@@ -243,3 +243,24 @@ def test_batch_perspective_project_matches_single():
             pts[i].astype(np.float64), ks[i], exts[i], dist[i]
         )[:, :2]
         np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-3)
+
+
+def test_sharded_bake_matches_single_device():
+    from topo4d_tpu.texture.bake import bake_texture_sharded
+
+    h = w = 64
+    verts, tris, colors = random_mesh(h, w, n_tris=60, seed=11, max_size=5.0)
+    single = bake_texture(verts, tris, colors, h, w, window=8, bands=4)
+    import jax
+
+    assert len(jax.devices()) == 8  # conftest virtual mesh
+    sharded = bake_texture_sharded(
+        verts, tris, colors, h, w, window=8, bands=4
+    )
+    np.testing.assert_array_equal(sharded, single)
+    # band count not divisible by device count (padding bands render empty)
+    sharded6 = bake_texture_sharded(
+        verts, tris, colors, h, w, window=8, bands=6
+    )
+    single6 = bake_texture(verts, tris, colors, h, w, window=8, bands=6)
+    np.testing.assert_array_equal(sharded6, single6)

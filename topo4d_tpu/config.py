@@ -164,6 +164,11 @@ class TextureConfig:
     density: int = 30
     bake_window: int = 16
     bake_bands: int = 8
+    # dense-loop re-binning cadence (pallas backend): 0 = compute the
+    # tile permutation once per (frame, view) — valid because dense
+    # means3D are frozen within a frame (train.py:715-743) — any k>0 =
+    # re-bin a view after k uses (1 = reference parity, every iteration)
+    rebin_freq: int = 0
 
 
 @dataclasses.dataclass

@@ -79,6 +79,21 @@ def make_render_fn(cfg: Config):
     raise ValueError(f"unknown rasterizer backend {backend!r}")
 
 
+def make_dense_render_fn(cfg: Config):
+    """Dense-loop renderer: (rv, cam, binning) — only the pallas backend
+    consumes the frozen binning; others ignore it."""
+    base = make_render_fn(cfg)
+    if cfg.raster.backend != "pallas":
+        return lambda rv, cam, binning: base(rv, cam)
+    from topo4d_tpu.rasterizer.pallas import render_gaussians_pallas
+
+    bg = jnp.asarray(cfg.raster.bg, jnp.float32)
+    return lambda rv, cam, binning: render_gaussians_pallas(
+        rv, cam, bg=bg, max_span=cfg.raster.max_span,
+        chunk=cfg.raster.chunk, binning=binning,
+    )
+
+
 class Trainer:
     """Orchestrates a full sequence fit."""
 
@@ -300,7 +315,7 @@ class Trainer:
             dense = {k: jnp.asarray(v) for k, v in dense_np.items()}
             self.texture_state = TextureState(params=dense, opt=adam_init(dense))
             self.dense_anchor = dense["dense_rgb_colors"]
-            self.texture_step = make_texture_step(self.render_fn)
+            self.texture_step = make_texture_step(make_dense_render_fn(cfg))
             self._dense_pre = build_dense_pre_constraints(
                 dense, self.statics.regions
             )
@@ -327,12 +342,42 @@ class Trainer:
             k: jnp.asarray(v, jnp.float32)
             for k, v in self.cfg.dense_weights.as_dict().items()
         }
+        # frozen per-view binning (dense means3D are fixed within a frame);
+        # computed lazily on a view's first use, refreshed per rebin_freq
+        use_binning = (
+            cfg.raster.backend == "pallas" and cfg.texture.rebin_freq != 1
+        )
+        binnings: Dict[int, object] = {}
+        uses: Dict[int, int] = {}
+        if use_binning:
+            from topo4d_tpu.rasterizer.pallas import binning_for
+
+            from topo4d_tpu.texture.dense import dense_rendervars
+
         metrics = {}
         for i in range(cfg.schedule.dense_opt_num):
-            vid = jnp.asarray(order[i], jnp.int32)
+            v = order[i]
+            vid = jnp.asarray(v, jnp.int32)
+            binning = None
+            if use_binning:
+                rebin = cfg.texture.rebin_freq
+                if v not in binnings or (
+                    rebin > 0 and uses[v] >= rebin
+                ):
+                    binnings[v] = binning_for(
+                        dense_rendervars(
+                            self.texture_state.params, self.dense_means3d
+                        ),
+                        cams[v],
+                        max_span=cfg.raster.max_span,
+                    )
+                    uses[v] = 0
+                uses[v] += 1
+                binning = binnings[v]
             self.texture_state, m = self.texture_step(
                 self.texture_state, self.dense_means3d, images[order[i]],
                 cams, vid, self.dense_anchor, self._dense_pre, lr, weights,
+                binning,
             )
             if i % cfg.schedule.dense_log_freq == 0:
                 metrics = {("tex_" + k): float(v) for k, v in m.items()}

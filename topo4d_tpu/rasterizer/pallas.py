@@ -18,7 +18,14 @@ from topo4d_tpu.core.camera import Camera
 from topo4d_tpu.core.gaussian import GaussianRenderVars, project_gaussians
 from topo4d_tpu.rasterizer.pallas_blend import PX, pallas_blend
 from topo4d_tpu.rasterizer.tiled import TiledRenderOutput
-from topo4d_tpu.rasterizer.tiles import TILE, bin_gaussians_packed, num_tiles
+from topo4d_tpu.rasterizer.tiles import (
+    TILE,
+    Binning,
+    bin_gaussians_packed,
+    compute_binning,
+    num_tiles,
+    pack_with_binning,
+)
 
 
 @functools.partial(
@@ -35,10 +42,15 @@ def _render_pallas_impl(
     max_span: int,
     chunk: int,
     interpret: bool,
+    binning: Optional[Binning] = None,
 ):
-    bins = bin_gaussians_packed(
-        proj, colors, opacities, width, height, max_span=max_span, chunk=chunk
-    )
+    if binning is None:
+        bins = bin_gaussians_packed(
+            proj, colors, opacities, width, height, max_span=max_span,
+            chunk=chunk,
+        )
+    else:
+        bins = pack_with_binning(proj, colors, opacities, binning, chunk)
     tiles_x, tiles_y = num_tiles(width, height)
     out = pallas_blend(
         bins.packed,
@@ -72,11 +84,16 @@ def render_gaussians_pallas(
     max_span: int = 4,
     chunk: int = 128,
     interpret: bool = False,
+    binning: Optional[Binning] = None,
 ) -> TiledRenderOutput:
     """Drop-in Pallas renderer matching the oracle contract.
 
     ``interpret=True`` runs the kernels in the Pallas interpreter
     (CPU-testable); False compiles Mosaic TPU kernels.
+
+    ``binning``: a frozen permutation from ``binning_for`` — skips the
+    per-call duplicate-and-sort (the dense texture loop's dominant
+    binning cost; means3D are frozen there so the depth order is stable).
     """
     if bg is None:
         bg = jnp.zeros(3, dtype=jnp.float32)
@@ -91,6 +108,7 @@ def render_gaussians_pallas(
         max_span,
         chunk,
         interpret,
+        binning,
     )
     return TiledRenderOutput(
         image=image,
@@ -99,4 +117,19 @@ def render_gaussians_pallas(
         alpha=alpha,
         num_cropped=ncrop,
         num_overflow=jnp.zeros((), jnp.int32),  # packed binning never drops
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_span",))
+def binning_for(
+    rv: GaussianRenderVars, cam: Camera, max_span: int = 4
+):
+    """Compute the reusable frozen binning for the current geometry.
+
+    Camera width/height are static pytree aux, so the whole
+    project+duplicate+sort runs as one jitted graph.
+    """
+    proj = project_gaussians(rv, cam)
+    return compute_binning(
+        jax.lax.stop_gradient(proj), cam.width, cam.height, max_span
     )

@@ -188,6 +188,140 @@ def bin_gaussians_packed(
     )
 
 
+class Binning(NamedTuple):
+    """Frozen binning: the entry permutation + tile ranges, values-free.
+
+    The duplicate-and-sort step depends only on projected centers, depths
+    and radii. When those are frozen (the dense texture loop: means3D are
+    stop-gradient, scales/opacities do not learn — train.py:715-743) the
+    permutation can be computed ONCE per (frame, view) and every iteration
+    reduces to one gather along it. Rotation updates can drift radii
+    slightly; ``texture.rebin_freq`` in the config controls re-binning.
+    """
+
+    sorted_gid: jnp.ndarray  # (E,) int32 entry -> gaussian id
+    sorted_tile: jnp.ndarray  # (E,) int32 entry -> tile id (t = invalid)
+    entry_valid: jnp.ndarray  # (E,) bool
+    tile_start: jnp.ndarray  # (T,) int32
+    tile_count: jnp.ndarray  # (T,) int32
+    num_cropped: jnp.ndarray  # () int32
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "max_span")
+)
+def compute_binning(
+    proj: Projected, width: int, height: int, max_span: int = 4
+) -> Binning:
+    """Duplicate-and-sort once; returns the reusable permutation."""
+    n = proj.means2d.shape[0]
+    x0, y0, x1, y1, tiles_x, tiles_y = tile_rect(proj, width, height)
+    span_w = x1 - x0
+    span_h = y1 - y0
+    cropped = (span_w > max_span) | (span_h > max_span)
+    num_cropped = jnp.sum(cropped & proj.mask).astype(jnp.int32)
+
+    r = max_span * max_span
+    k = jnp.arange(r, dtype=jnp.int32)
+    di = k // max_span
+    dj = k % max_span
+    ty = y0[:, None] + di[None, :]
+    tx = x0[:, None] + dj[None, :]
+    valid = (
+        proj.mask[:, None]
+        & (di[None, :] < span_h[:, None])
+        & (dj[None, :] < span_w[:, None])
+    )
+    t = tiles_x * tiles_y
+    tile_id = jnp.where(valid, ty * tiles_x + tx, t).astype(jnp.int32)
+
+    key = jnp.where(proj.mask, proj.depths, jnp.inf)
+    order = jnp.argsort(key, stable=True)
+    rank = jnp.zeros(n, jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+
+    flat_tile = tile_id.reshape(-1)
+    flat_rank = jnp.broadcast_to(rank[:, None], (n, r)).reshape(-1)
+    if (t + 1) * n < 2**31:
+        fused = flat_tile * jnp.int32(n) + flat_rank
+        sorted_key, sorted_rank = jax.lax.sort(
+            (fused, flat_rank), num_keys=1, is_stable=False
+        )
+        sorted_tile = sorted_key // jnp.int32(n)
+    else:
+        sorted_tile, sorted_rank = jax.lax.sort(
+            (flat_tile, flat_rank), num_keys=2, is_stable=True
+        )
+    tile_start = jnp.searchsorted(
+        sorted_tile, jnp.arange(t, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    tile_end = jnp.searchsorted(
+        sorted_tile, jnp.arange(t, dtype=jnp.int32), side="right"
+    ).astype(jnp.int32)
+    return Binning(
+        sorted_gid=order[sorted_rank].astype(jnp.int32),
+        sorted_tile=sorted_tile,
+        entry_valid=sorted_tile < t,
+        tile_start=tile_start,
+        tile_count=tile_end - tile_start,
+        num_cropped=num_cropped,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def pack_with_binning(
+    proj: Projected,
+    colors: jnp.ndarray,
+    opacities: jnp.ndarray,
+    binning: Binning,
+    chunk: int = PACK_CHUNK,
+) -> PackedBins:
+    """Pack CURRENT values along a frozen permutation: one fused gather.
+
+    Differentiable under XLA autodiff: the backward of the single
+    (10, N) -> (10, E) take is one scatter-add — the same segment-sum the
+    sort-with-data custom VJP implements by hand.
+    """
+    fields = jnp.stack(
+        [
+            proj.means2d[:, 0],
+            proj.means2d[:, 1],
+            proj.conics[:, 0],
+            proj.conics[:, 1],
+            proj.conics[:, 2],
+            opacities,
+            colors[:, 0],
+            colors[:, 1],
+            colors[:, 2],
+            proj.depths,
+        ],
+        axis=0,
+    )  # (10, N)
+    rows10 = jnp.take(fields, binning.sorted_gid, axis=1)  # (10, E)
+    rows10 = jnp.where(binning.entry_valid[None, :], rows10, 0.0)
+    e = rows10.shape[1]
+    zeros = jnp.zeros((1, e), jnp.float32)
+    packed = jnp.concatenate(
+        [
+            rows10[0:6],
+            binning.sorted_tile.astype(jnp.float32)[None, :],
+            zeros,
+            rows10[6:10],
+            jnp.zeros((4, e), jnp.float32),
+        ],
+        axis=0,
+    )  # (16, E)
+    pad = (-e) % chunk + chunk  # keep boundary DMA windows in bounds
+    packed = jnp.pad(packed, ((0, 0), (0, pad)), constant_values=-1.0)
+    return PackedBins(
+        packed=packed,
+        tile_start=binning.tile_start,
+        tile_count=binning.tile_count,
+        num_cropped=binning.num_cropped,
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def _bin_pack(
     means2d, depths, conics, maskf, radii_f, colors, opacities,

@@ -167,17 +167,7 @@ def bake_texture(
     tris = jnp.asarray(tri_faces, jnp.int32)
     cols = jnp.asarray(colors, jnp.float32)
 
-    tx = np.asarray(uv_coords_px)[:, 0][np.asarray(tri_faces)]
-    ty = np.asarray(uv_coords_px)[:, 1][np.asarray(tri_faces)]
-    span = max(
-        float((tx.max(1) - tx.min(1)).max() if tx.size else 0),
-        float((ty.max(1) - ty.min(1)).max() if ty.size else 0),
-    )
-    if span >= window:
-        raise ValueError(
-            f"triangle bbox span {span:.1f}px exceeds window {window}; "
-            f"raise `window` (no silent truncation)"
-        )
+    _check_window(uv_coords_px, tri_faces, window)
 
     band_h = -(-height // bands)
     out = np.zeros((height, width, colors.shape[1]), np.float32)
@@ -192,3 +182,70 @@ def bake_texture(
         )
         out[y0 : y0 + h] = np.asarray(img)[:h]
     return out
+
+
+def _check_window(uv_coords_px, tri_faces, window: int) -> None:
+    tx = np.asarray(uv_coords_px)[:, 0][np.asarray(tri_faces)]
+    ty = np.asarray(uv_coords_px)[:, 1][np.asarray(tri_faces)]
+    span = max(
+        float((tx.max(1) - tx.min(1)).max() if tx.size else 0),
+        float((ty.max(1) - ty.min(1)).max() if ty.size else 0),
+    )
+    if span >= window:
+        raise ValueError(
+            f"triangle bbox span {span:.1f}px exceeds window {window}; "
+            f"raise `window` (no silent truncation)"
+        )
+
+
+def bake_texture_sharded(
+    uv_coords_px: np.ndarray,
+    tri_faces: np.ndarray,
+    colors: np.ndarray,
+    height: int,
+    width: int,
+    window: int = 8,
+    bands: int = 8,
+    mesh=None,
+) -> np.ndarray:
+    """Multi-chip bake: UV row bands sharded over a device mesh.
+
+    The 8K canvas (SURVEY §7 hard part 5, §5 long-context row: "shard the
+    8K texture bake by UV tiles") splits into row bands; each device
+    rasterizes its bands independently (triangles are replicated — they
+    are tiny next to the canvas) and the sharded output concatenates on
+    the host. Pixel results are bitwise identical to ``bake_texture``.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()), ("band",))
+    n = int(np.prod(mesh.devices.shape))
+    _check_window(uv_coords_px, tri_faces, window)
+
+    band_h = -(-height // bands)
+    bands_pad = -(-bands // n) * n  # spare bands render empty rows
+    y0s = (np.arange(bands_pad) * band_h).astype(np.int32)
+
+    verts = jnp.asarray(uv_coords_px, jnp.float32)
+    tris = jnp.asarray(tri_faces, jnp.int32)
+    cols = jnp.asarray(colors, jnp.float32)
+
+    @jax.jit
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("band"), P(), P(), P()),
+        out_specs=P("band"),
+    )
+    def run(y0s, verts, tris, cols):
+        return jax.lax.map(
+            lambda y0: _bake_band(
+                verts, tris, cols, y0, band_h, width, window, 0
+            ),
+            y0s,
+        )
+
+    imgs = np.asarray(run(jnp.asarray(y0s), verts, tris, cols))
+    return imgs.reshape(bands_pad * band_h, width, -1)[:height]

@@ -45,11 +45,20 @@ def dense_rendervars(
 
 def make_texture_step(render_fn: Callable) -> Callable:
     """Jitted texture iteration: zero-region scatters -> render -> loss ->
-    Adam (reference train.py:729-741, incl. the pre-step color zeroing)."""
+    Adam (reference train.py:729-741, incl. the pre-step color zeroing).
 
-    def loss_fn(params, dense_means3d, gt, cam, anchor_colors, weights):
+    ``render_fn(rv, cam, binning)``: ``binning`` is an optional frozen
+    tile permutation (``rasterizer.pallas.binning_for``). Dense means3D
+    are stop-gradient and scales/opacities do not learn, so the depth
+    order is stable across the 301 iterations; reusing the permutation
+    removes the per-iteration duplicate-and-sort. ``texture.rebin_freq``
+    in the config selects the cadence (0 = once per frame per view).
+    """
+
+    def loss_fn(params, dense_means3d, gt, cam, anchor_colors, weights,
+                binning):
         rv = dense_rendervars(params, dense_means3d)
-        out = render_fn(rv, cam)
+        out = render_fn(rv, cam, binning)
         losses = {
             # remat: at 4K the SSIM intermediates alone are ~1.5 GB of
             # saved residuals; recomputing them in backward keeps the
@@ -73,12 +82,13 @@ def make_texture_step(render_fn: Callable) -> Callable:
         pre_constraints: Sequence[ScatterConstraint],
         lr: Dict[str, jnp.ndarray],
         weights: Dict[str, jnp.ndarray],
+        binning=None,
     ) -> Tuple[TextureState, Dict[str, jnp.ndarray]]:
         cam = cams[view_id]
         params = apply_constraints(state.params, pre_constraints)
         (total, (losses, radii, im)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(params, dense_means3d, gt, cam, anchor_colors, weights)
+        )(params, dense_means3d, gt, cam, anchor_colors, weights, binning)
         new_params, new_opt = adam_update(params, grads, state.opt, lr)
         metrics = {("loss_" + k): v for k, v in losses.items()}
         metrics["loss_total"] = total
