@@ -407,6 +407,93 @@ def _bwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
     return kernel
 
 
+def _bwd_window_grads(
+    data, px, py, tile_f, ox, oy, g8, gt_final, t_out, suf,
+    u_prefix, l_suffix, basis, chunk,
+):
+    """Gradients of one reverse-sweep window.
+
+    Returns (dout (16, chunk), suf_out (PX, 1), t_in (PX, 1)): the packed
+    entry gradients, the updated running suffix Σ w·(g·feat), and the
+    reconstructed transmittance entering the PREVIOUS (earlier) window.
+    """
+    alpha, raw, g_exp, dx, dy = _chunk_terms(data, px, py, tile_f)
+    log1m = jnp.log1p(-alpha)
+    s_excl = jax.lax.dot(
+        log1m, u_prefix, preferred_element_type=jnp.float32
+    )
+    s_total = jnp.sum(log1m, axis=1, keepdims=True)  # (PX, 1)
+    # t_excl = t_in * exp(s_excl) with t_in = t_out / prod(1-alpha):
+    # division by the window suffix product, clamped so a fully
+    # saturated t_out==0 stays 0 instead of 0*inf
+    t_excl = t_out * jnp.exp(
+        jnp.minimum(s_excl - s_total, _EXP_CLAMP)
+    )
+    t_incl = t_excl * (1.0 - alpha)
+    keep2 = t_incl >= TRANSMITTANCE_MIN
+    w = alpha * t_excl * jnp.where(keep2, 1.0, 0.0)
+
+    feat = data[8:16, :]  # (8, chunk)
+    gfeat = jax.lax.dot(
+        g8, feat, preferred_element_type=jnp.float32
+    )  # (PX, chunk): (g . feat_e)(p)
+    q = w * gfeat
+    sufq = (
+        jax.lax.dot(q, l_suffix, preferred_element_type=jnp.float32)
+        + suf
+    )
+    live = jnp.where((alpha > 0.0) & keep2, 1.0, 0.0)
+    dalpha = live * (
+        t_excl * gfeat - (sufq + gt_final) / (1.0 - alpha)
+    )
+
+    dpow = dalpha * raw  # CUDA straight-through clamp semantics
+    ca = data[2:3, :]
+    cb = data[3:4, :]
+    cc = data[4:5, :]
+    # pixel moments of dpow: ONE MXU matmul replaces the five
+    # (PX, chunk) multiply+reduce pairs; Σ dpow·f(dx,dy) for any
+    # quadratic f becomes a (1, chunk) combination of the moments
+    # (tile-local coordinates bound the expansion's cancellation)
+    m = jax.lax.dot_general(
+        basis, dpow,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (8, chunk): [Σ, Σpx, Σpy, Σpx², Σpxpy, Σpy²]·dpow
+    m0 = m[0:1, :]
+    mx = m[1:2, :]
+    my = m[2:3, :]
+    mxx = m[3:4, :]
+    mxy = m[4:5, :]
+    myy = m[5:6, :]
+    xl = data[0:1, :] - ox
+    yl = data[1:2, :] - oy
+    gx = xl * m0 - mx  # Σ dpow·dx
+    gy = yl * m0 - my  # Σ dpow·dy
+    dca = -0.5 * (xl * xl * m0 - 2.0 * xl * mx + mxx)
+    dcb = -(xl * yl * m0 - xl * my - yl * mx + mxy)
+    dcc = -0.5 * (yl * yl * m0 - 2.0 * yl * my + myy)
+    dxm = -(ca * gx + cb * gy)
+    dym = -(cb * gx + cc * gy)
+    # dpow = dalpha·op·g_exp  =>  Σ dalpha·g_exp = m0 / op
+    dop = m0 / jnp.maximum(data[5:6, :], 1e-30)
+    dfeat = jax.lax.dot_general(
+        g8,
+        w,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (8, chunk)
+
+    zero = jnp.zeros((2, chunk), jnp.float32)
+    dout = jnp.concatenate(
+        [dxm, dym, dca, dcb, dcc, dop, zero, dfeat], axis=0
+    )  # (16, chunk)
+    # carry the reconstructed incoming transmittance to the previous
+    # window (clamped: a saturated 0 carry stays 0)
+    t_in = t_out * jnp.exp(jnp.minimum(-s_total, _EXP_CLAMP))
+    return dout, suf + jnp.sum(q, axis=1, keepdims=True), t_in
+
+
 def _bwd_one_tile(
     i, start_ref, count_ref, cend_ref, packed_hbm, g8, fwd8,
     buf, accbuf, flushbuf, scal, sem, flush_dma, tiles_x, chunk,
@@ -439,101 +526,11 @@ def _bwd_one_tile(
     hit = jnp.logical_and(k > 0, scal[0] == first + k - 1)
     base = jnp.where(hit, scal[1], 0)
 
-    # ---- reverse sweep; grads accumulate in the shared window register --
-    @pl.when(jnp.logical_and(k > 0, jnp.logical_not(hit)))
-    def _():
-        get_dma(base, k - 1).start()
-
-    def rbody(j, carry):
-        suf, t_out = carry
-        c = k - 1 - j
-        slot = jax.lax.rem(j + base, 2)
-
-        @pl.when(j + 1 < k)
-        def _():
-            get_dma(1 - slot, c - 1).start()
-
-        @pl.when(jnp.logical_or(j > 0, jnp.logical_not(hit)))
-        def _():
-            get_dma(slot, c).wait()
-        data = buf[slot]
-        alpha, raw, g_exp, dx, dy = _chunk_terms(data, px, py, tile_f)
-        log1m = jnp.log1p(-alpha)
-        s_excl = jax.lax.dot(
-            log1m, u_prefix, preferred_element_type=jnp.float32
-        )
-        s_total = jnp.sum(log1m, axis=1, keepdims=True)  # (PX, 1)
-        # t_excl = t_in * exp(s_excl) with t_in = t_out / prod(1-alpha):
-        # division by the window suffix product, clamped so a fully
-        # saturated t_out==0 stays 0 instead of 0*inf
-        t_excl = t_out * jnp.exp(
-            jnp.minimum(s_excl - s_total, _EXP_CLAMP)
-        )
-        t_incl = t_excl * (1.0 - alpha)
-        keep2 = t_incl >= TRANSMITTANCE_MIN
-        w = alpha * t_excl * jnp.where(keep2, 1.0, 0.0)
-
-        feat = data[8:16, :]  # (8, chunk)
-        gfeat = jax.lax.dot(
-            g8, feat, preferred_element_type=jnp.float32
-        )  # (PX, chunk): (g . feat_e)(p)
-        q = w * gfeat
-        sufq = (
-            jax.lax.dot(q, l_suffix, preferred_element_type=jnp.float32)
-            + suf
-        )
-        live = jnp.where((alpha > 0.0) & keep2, 1.0, 0.0)
-        dalpha = live * (
-            t_excl * gfeat - (sufq + gt_final) / (1.0 - alpha)
-        )
-
-        dpow = dalpha * raw  # CUDA straight-through clamp semantics
-        ca = data[2:3, :]
-        cb = data[3:4, :]
-        cc = data[4:5, :]
-        # pixel moments of dpow: ONE MXU matmul replaces the five
-        # (PX, chunk) multiply+reduce pairs; Σ dpow·f(dx,dy) for any
-        # quadratic f becomes a (1, chunk) combination of the moments
-        # (tile-local coordinates bound the expansion's cancellation)
-        m = jax.lax.dot_general(
-            basis, dpow,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (8, chunk): [Σ, Σpx, Σpy, Σpx², Σpxpy, Σpy²]·dpow
-        m0 = m[0:1, :]
-        mx = m[1:2, :]
-        my = m[2:3, :]
-        mxx = m[3:4, :]
-        mxy = m[4:5, :]
-        myy = m[5:6, :]
-        xl = data[0:1, :] - ox
-        yl = data[1:2, :] - oy
-        gx = xl * m0 - mx  # Σ dpow·dx
-        gy = yl * m0 - my  # Σ dpow·dy
-        dca = -0.5 * (xl * xl * m0 - 2.0 * xl * mx + mxx)
-        dcb = -(xl * yl * m0 - xl * my - yl * mx + mxy)
-        dcc = -0.5 * (yl * yl * m0 - 2.0 * yl * my + myy)
-        dxm = -(ca * gx + cb * gy)
-        dym = -(cb * gx + cc * gy)
-        # dpow = dalpha·op·g_exp  =>  Σ dalpha·g_exp = m0 / op
-        dop = m0 / jnp.maximum(data[5:6, :], 1e-30)
-        dfeat = jax.lax.dot_general(
-            g8,
-            w,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (8, chunk)
-
-        zero = jnp.zeros((2, chunk), jnp.float32)
-        dout = jnp.concatenate(
-            [dxm, dym, dca, dcb, dcc, dop, zero, dfeat], axis=0
-        )  # (16, chunk)
-
+    def acc_window(dout, w_glob):
         # monotone schedule: same window -> accumulate in VMEM; lower
         # window -> flush the open one (exactly once per window) and open
         # this one. Foreign-entry columns of dout are exactly zero, so
         # accumulation across the tiles sharing a window equals the sum.
-        w_glob = first + c
         switch = w_glob != scal[2]
 
         @pl.when(switch)
@@ -556,17 +553,51 @@ def _bwd_one_tile(
         def _():
             accbuf[...] = accbuf[...] + dout
 
-        # carry the reconstructed incoming transmittance to the previous
-        # window (clamped: a saturated 0 carry stays 0)
-        t_in = t_out * jnp.exp(jnp.minimum(-s_total, _EXP_CLAMP))
-        return (suf + jnp.sum(q, axis=1, keepdims=True), t_in)
+    # ---- reverse sweep; grads accumulate in the shared window register --
+    @pl.when(jnp.logical_and(k > 0, jnp.logical_not(hit)))
+    def _():
+        get_dma(base, k - 1).start()
 
     suf0 = jnp.zeros((PX, 1), jnp.float32)
-    jax.lax.fori_loop(0, k, rbody, (suf0, t_seed))
 
-    # the sweep's last DMA-completed window is this tile's FIRST window
-    @pl.when(k > 0)
+    # fast path: single-window tiles skip the fori machinery entirely
+    @pl.when(k == 1)
     def _():
+        @pl.when(jnp.logical_not(hit))
+        def _():
+            get_dma(base, 0).wait()
+        dout, _, _ = _bwd_window_grads(
+            buf[base], px, py, tile_f, ox, oy, g8, gt_final, t_seed,
+            suf0, u_prefix, l_suffix, basis, chunk,
+        )
+        acc_window(dout, first)
+        scal[0] = first
+        scal[1] = base
+
+    @pl.when(k > 1)
+    def _():
+        def rbody(j, carry):
+            suf, t_out = carry
+            c = k - 1 - j
+            slot = jax.lax.rem(j + base, 2)
+
+            @pl.when(j + 1 < k)
+            def _():
+                get_dma(1 - slot, c - 1).start()
+
+            @pl.when(jnp.logical_or(j > 0, jnp.logical_not(hit)))
+            def _():
+                get_dma(slot, c).wait()
+            dout, suf, t_in = _bwd_window_grads(
+                buf[slot], px, py, tile_f, ox, oy, g8, gt_final, t_out,
+                suf, u_prefix, l_suffix, basis, chunk,
+            )
+            acc_window(dout, first + c)
+            return (suf, t_in)
+
+        jax.lax.fori_loop(0, k, rbody, (suf0, t_seed))
+
+        # the sweep's last DMA-completed window is this tile's FIRST window
         scal[0] = first
         scal[1] = jax.lax.rem(k - 1 + base, 2)
 
