@@ -88,33 +88,32 @@ def _bench_full_step() -> float:
     gt = jnp.zeros((3, 512, 375))
     vid = jnp.asarray(0, jnp.int32)
     state, priors = trainer.state, trainer.priors
-    # production step: metrics (PSNR) are only computed on log iterations
-    # (log_freq=500 -> ~3 of 1100), exactly like the reference's
-    # report_progress cadence (train.py:702, 777); measure the non-log
-    # step and amortize the logged ones in below
-    state, priors, m = trainer.step(
-        state, gt, cams, vid, priors, cons, lr, weights, "track",
-        with_metrics=False,
-    )
-    jax.block_until_ready(m["loss_total"])
-    _note("track step compiled")
+    # production path: the trainer scans runs of identically-configured
+    # iterations into one device program (trainer.multi_step) and computes
+    # metrics (PSNR) only on log iterations (log_freq=500 -> ~3 of 1100),
+    # like the reference's report_progress cadence (train.py:702, 777).
+    # Time the scanned segment; amortize the logged singles below.
+    images = jnp.zeros((24, 3, 512, 375))
+    from topo4d_tpu.pipeline.data import view_order
 
-    # two-point fit: the tunnel charges a fixed ~30-40 ms per sync batch;
-    # the marginal per-call cost is the true device step time (what a
-    # 1100-iteration frame actually pays per step)
-    def run(iters):
+    order = view_order(24, 250, seed=1)
+
+    def run_scan(iters):
         nonlocal state, priors
+        vids = jnp.asarray(order[:iters], jnp.int32)
+        state, priors, losses = trainer.multi_step(
+            state, images, cams, vids, priors, cons, lr, weights, "track"
+        )
         t0 = time.perf_counter()
-        for _ in range(iters):
-            state, priors, m = trainer.step(
-                state, gt, cams, vid, priors, cons, lr, weights, "track",
-                with_metrics=False,
-            )
-        jax.block_until_ready(m["loss_total"])
+        state, priors, losses = trainer.multi_step(
+            state, images, cams, vids, priors, cons, lr, weights, "track"
+        )
+        jax.block_until_ready(losses)
         return time.perf_counter() - t0
 
-    t1 = run(25)
-    t2 = run(225)
+    t1 = run_scan(25)
+    _note("track scan(25) compiled+timed")
+    t2 = run_scan(225)
     dt_nolog = (t2 - t1) / 200.0
     _note("track loop timed")
 

@@ -9,6 +9,7 @@ tracking).
 import json
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -186,3 +187,58 @@ def test_cli_config_wiring():
     cfg2 = Config.from_json(cfg.to_json())
     assert cfg2.texture.tex_res == 512
     assert cfg2.weights.rigid == cfg.weights.rigid
+
+
+def test_scanned_segments_match_per_iteration_loop(tmp_path):
+    """use_scan=True must reproduce the per-iteration dispatch exactly."""
+    import copy
+
+    rows = cols = 8
+    verts, faces = make_grid_mesh(rows, cols, extent=0.5)
+    n = verts.shape[0]
+    uvs = np.stack(
+        np.meshgrid(
+            np.linspace(0.05, 0.95, cols), np.linspace(0.05, 0.95, rows),
+            indexing="xy",
+        ),
+        -1,
+    ).reshape(-1, 2).astype(np.float32)
+    mesh = MeshObj(
+        vertices=verts, uvs=uvs, faces=faces,
+        uv_faces=[list(f) for f in faces],
+    )
+    regions = make_synthetic_regions(n, faces)
+
+    results = {}
+    for use_scan in (False, True):
+        cfg = Config()
+        cfg.data.output_dir = str(tmp_path / f"scan_{use_scan}")
+        cfg.data.use_mask = False
+        cfg.schedule.frame_num = 2
+        cfg.schedule.init_opt_num = 9
+        cfg.schedule.opt_num = 7
+        cfg.schedule.polish_iters = 2
+        cfg.schedule.log_freq = 4
+        cfg.schedule.ckp_freq = 1
+        cfg.schedule.use_scan = use_scan
+        cfg.raster.backend = "tiled"
+        cfg.raster.capacity = 256
+        cfg.texture.gen_tex = False
+
+        params, statics = build_scene(mesh, regions, cfg, num_views=3)
+        cams = make_camera_ring(3, width=32, height=24, distance=2.0)
+        source = SyntheticSequence(
+            params=copy.deepcopy(params), cameras=cams, num_frames=2
+        )
+        trainer = Trainer(cfg, source, params, statics)
+        assert (trainer.multi_step is not None) == use_scan
+        trainer.run(resume=False)
+        results[use_scan] = jax.tree_util.tree_map(
+            np.asarray, trainer.state.params
+        )
+
+    for k in results[False]:
+        np.testing.assert_allclose(
+            results[True][k], results[False][k], rtol=1e-6, atol=1e-7,
+            err_msg=k,
+        )

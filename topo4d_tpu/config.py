@@ -129,6 +129,9 @@ class ScheduleConfig:
     dense_log_freq: int = 300
     ckp_freq: int = 5
     views_per_step: int = 1  # 1 = reference parity; 0 = all views batched
+    # scan runs of identically-configured iterations into one device
+    # program (semantics identical to per-iteration dispatch)
+    use_scan: bool = True
 
 
 @dataclasses.dataclass

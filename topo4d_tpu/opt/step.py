@@ -70,13 +70,13 @@ class TrainState(NamedTuple):
     max_2d_radius: jnp.ndarray  # (N,) float — densification statistic
 
 
-def make_geometry_step(
+def _build_step_impl(
     quadruples: Dict[str, DihedralQuadruples],
     umbrellas: Dict[str, UmbrellaFlatten],
     render_fn: Callable[[GaussianRenderVars, Camera], object],
     ring_indices=None,  # (N, K) np.int32 — priors.neighbor_indices pre-transpose
 ) -> Callable:
-    """Build the jitted step. ``render_fn(rv, cam) -> RenderOutput``.
+    """Build the (unjitted) step body. ``render_fn(rv, cam) -> RenderOutput``.
 
     ``quadruples``/``umbrellas`` hold the host-precomputed flatten index
     sets (missing keys simply drop that loss, like the reference's
@@ -184,8 +184,7 @@ def make_geometry_step(
         aux = (losses, new_cos, out.radii, im)
         return total, aux
 
-    @functools.partial(jax.jit, static_argnames=("phase", "with_metrics"))
-    def step(
+    def step_impl(
         state: TrainState,
         gt: jnp.ndarray,  # (3, H, W) target for the chosen view
         cams: Camera,  # batched cameras
@@ -226,4 +225,63 @@ def make_geometry_step(
             metrics,
         )
 
-    return step
+    return step_impl
+
+
+def make_geometry_step(
+    quadruples: Dict[str, DihedralQuadruples],
+    umbrellas: Dict[str, UmbrellaFlatten],
+    render_fn: Callable[[GaussianRenderVars, Camera], object],
+    ring_indices=None,
+) -> Callable:
+    """Single-iteration jitted step (see ``_build_step_impl``)."""
+    step_impl = _build_step_impl(
+        quadruples, umbrellas, render_fn, ring_indices
+    )
+    return jax.jit(step_impl, static_argnames=("phase", "with_metrics"))
+
+
+def make_geometry_multi_step(
+    quadruples: Dict[str, DihedralQuadruples],
+    umbrellas: Dict[str, UmbrellaFlatten],
+    render_fn: Callable[[GaussianRenderVars, Camera], object],
+    ring_indices=None,
+) -> Callable:
+    """Scanned segment of iterations: ONE dispatch for a run of steps.
+
+    The reference (and the single-step path) pays a host dispatch per
+    iteration; ``lax.scan`` over the view schedule turns a whole segment
+    between log points into one device program. Semantics are identical
+    to looping ``step`` with ``with_metrics=False`` — one view per
+    iteration, same order. Returns (state, priors, loss_total (S,)).
+    """
+    step_impl = _build_step_impl(
+        quadruples, umbrellas, render_fn, ring_indices
+    )
+
+    @functools.partial(jax.jit, static_argnames=("phase",))
+    def multi_step(
+        state: TrainState,
+        images: jnp.ndarray,  # (V, 3, H, W) all view targets
+        cams: Camera,
+        view_ids: jnp.ndarray,  # (S,) int32 schedule segment
+        priors: GeometryPriors,
+        constraints: Sequence[ScatterConstraint],
+        lr: Dict[str, jnp.ndarray],
+        weights: Dict[str, jnp.ndarray],
+        phase: str,
+    ):
+        def body(carry, vid):
+            state, priors = carry
+            state, priors, m = step_impl(
+                state, images[vid], cams, vid, priors, constraints, lr,
+                weights, phase, with_metrics=False,
+            )
+            return (state, priors), m["loss_total"]
+
+        (state, priors), losses = jax.lax.scan(
+            body, (state, priors), view_ids
+        )
+        return state, priors, losses
+
+    return multi_step

@@ -29,7 +29,12 @@ from topo4d_tpu.losses.flatten import (
 from topo4d_tpu.opt.step import HARD_FLATTEN_KEYS, SOFT_FLATTEN_KEYS
 from topo4d_tpu.losses.temporal import TemporalPriors, make_temporal_priors
 from topo4d_tpu.opt.adam import adam_init, reset_moments
-from topo4d_tpu.opt.step import GeometryPriors, TrainState, make_geometry_step
+from topo4d_tpu.opt.step import (
+    GeometryPriors,
+    TrainState,
+    make_geometry_multi_step,
+    make_geometry_step,
+)
 from topo4d_tpu.parallel.batched import make_batched_geometry_step
 from topo4d_tpu.pipeline import checkpoint as ckpt
 from topo4d_tpu.pipeline.data import view_order
@@ -112,6 +117,14 @@ class Trainer:
             statics.quadruples, statics.umbrellas, self.render_fn,
             ring_indices=statics.ring.indices,
         )
+        # scanned segments: one dispatch per run of identically-configured
+        # iterations (same constraints/LRs, no logging)
+        self.multi_step = None
+        if cfg.schedule.views_per_step == 1 and cfg.schedule.use_scan:
+            self.multi_step = make_geometry_multi_step(
+                statics.quadruples, statics.umbrellas, self.render_fn,
+                ring_indices=statics.ring.indices,
+            )
         # all-views mode: multi-device uses shard_map over the view axis
         # (required for the Pallas backend, which has no vmap rule)
         self.mesh = None
@@ -246,38 +259,72 @@ class Trainer:
         early_cut = int(num_iters * sched.eye_freeze_frac)
         batched = sched.views_per_step == 0
 
-        for i in range(1 if batched else num_iters):
+        def iter_attrs(i):
+            """(constraint phase, lr key, log?) of iteration i."""
             if is_init:
-                con_phase = "init_early" if i < early_cut else "init"
+                con = "init_early" if i < early_cut else "init"
+                lr_key = "init"
             else:
-                con_phase = "track"
-            constraints = self._constraints(con_phase)
-            if is_init:
-                lr = self.lrs_for("init")
-            elif i >= num_iters - sched.polish_iters:
-                lr = self.lrs_for("polish")
-            else:
-                lr = self.lrs_for("track")
-            weights = self.weights_for(step_phase)
-            if batched:
-                if self.mesh is not None:
-                    from topo4d_tpu.parallel.mesh import shard_view_batch
+                con = "track"
+                lr_key = (
+                    "polish" if i >= num_iters - sched.polish_iters
+                    else "track"
+                )
+            log_this = i % sched.log_freq == 0 or i == num_iters - 1
+            return con, lr_key, log_this
 
-                    images = shard_view_batch(self.mesh, images)
-                    cams = shard_view_batch(self.mesh, cams)
-                self.state, self.priors, m = self.batched_step(
-                    self.state, images, cams, self.priors, constraints,
-                    lr, weights, step_phase,
+        weights = self.weights_for(step_phase)
+
+        if batched:
+            constraints = self._constraints(iter_attrs(0)[0])
+            lr = self.lrs_for(iter_attrs(0)[1])
+            if self.mesh is not None:
+                from topo4d_tpu.parallel.mesh import shard_view_batch
+
+                images = shard_view_batch(self.mesh, images)
+                cams = shard_view_batch(self.mesh, cams)
+            self.state, self.priors, m = self.batched_step(
+                self.state, images, cams, self.priors, constraints,
+                lr, weights, step_phase,
+            )
+            metrics = {k: float(v) for k, v in m.items()}
+            metrics["frame"] = t
+            metrics["iter"] = 0
+            self.metrics_log.append(dict(metrics))
+            if cfg.data.log_views:
+                report_progress(
+                    self.state.params, self.render_fn, cams,
+                    images, frame_data.view_names, cfg.data.log_views,
+                    self._out_dir, t + 1, 0,
                 )
-            else:
-                vid = jnp.asarray(order[i], jnp.int32)
-                log_this = i % sched.log_freq == 0 or i == num_iters - 1
-                self.state, self.priors, m = self.step(
-                    self.state, images[order[i]], cams, vid, self.priors,
+            return metrics
+
+        i = 0
+        while i < num_iters:
+            con_phase, lr_key, log_this = iter_attrs(i)
+            constraints = self._constraints(con_phase)
+            lr = self.lrs_for(lr_key)
+            if self.multi_step is not None and not log_this:
+                # extend the segment while the step config is unchanged
+                j = i + 1
+                while j < num_iters and iter_attrs(j) == (
+                    con_phase, lr_key, False
+                ):
+                    j += 1
+                vids = jnp.asarray(order[i:j], jnp.int32)
+                self.state, self.priors, _ = self.multi_step(
+                    self.state, images, cams, vids, self.priors,
                     constraints, lr, weights, step_phase,
-                    with_metrics=log_this,
                 )
-            if i % sched.log_freq == 0 or i == num_iters - 1:
+                i = j
+                continue
+            vid = jnp.asarray(order[i], jnp.int32)
+            self.state, self.priors, m = self.step(
+                self.state, images[order[i]], cams, vid, self.priors,
+                constraints, lr, weights, step_phase,
+                with_metrics=log_this,
+            )
+            if log_this:
                 metrics = {k: float(v) for k, v in m.items()}
                 metrics["frame"] = t
                 metrics["iter"] = i
@@ -288,6 +335,7 @@ class Trainer:
                         images, frame_data.view_names, cfg.data.log_views,
                         self._out_dir, t + 1, i,
                     )
+            i += 1
         return metrics
 
     def _constraints(self, phase: str):
