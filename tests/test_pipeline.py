@@ -242,3 +242,55 @@ def test_scanned_segments_match_per_iteration_loop(tmp_path):
             results[True][k], results[False][k], rtol=1e-6, atol=1e-7,
             err_msg=k,
         )
+
+
+def test_resume_mid_sequence_with_texture(tmp_path):
+    """A restored texture_state must still get its (re)built step fns."""
+    rows = cols = 8
+    verts, faces = make_grid_mesh(rows, cols, extent=0.5)
+    n = verts.shape[0]
+    uvs = np.stack(
+        np.meshgrid(
+            np.linspace(0.05, 0.95, cols), np.linspace(0.05, 0.95, rows),
+            indexing="xy",
+        ),
+        -1,
+    ).reshape(-1, 2).astype(np.float32)
+    mesh = MeshObj(
+        vertices=verts, uvs=uvs, faces=faces,
+        uv_faces=[list(f) for f in faces],
+    )
+    regions = make_synthetic_regions(n, faces)
+
+    cfg = Config()
+    cfg.data.output_dir = str(tmp_path / "out")
+    cfg.data.use_mask = False
+    cfg.schedule.frame_num = 1
+    cfg.schedule.init_opt_num = 6
+    cfg.schedule.opt_num = 5
+    cfg.schedule.polish_iters = 1
+    cfg.schedule.log_freq = 3
+    cfg.schedule.ckp_freq = 1
+    cfg.schedule.dense_opt_num = 3
+    cfg.schedule.dense_log_freq = 2
+    cfg.raster.backend = "tiled"
+    cfg.raster.capacity = 256
+    cfg.texture.gen_tex = True
+    cfg.texture.density = 2
+    cfg.texture.tex_res = 32
+    cfg.texture.bake_window = 16
+    cfg.texture.bake_bands = 2
+
+    params, statics = build_scene(mesh, regions, cfg, num_views=3)
+    cams = make_camera_ring(3, width=32, height=24, distance=2.0)
+    source = SyntheticSequence(params=params, cameras=cams, num_frames=2)
+    Trainer(cfg, source, params, statics).run(resume=False)
+
+    # second run resumes past frame 1 and must fit frame 2's texture
+    cfg.schedule.frame_num = 2
+    params2, statics2 = build_scene(mesh, regions, cfg, num_views=3)
+    t2 = Trainer(cfg, source, params2, statics2)
+    t2.run(resume=True)
+    out = os.path.join(cfg.data.output_dir, cfg.data.exp, cfg.data.seq)
+    assert os.path.exists(os.path.join(out, "000002", "face.png"))
+    assert load_resume(out)["frame"] == 2

@@ -48,7 +48,11 @@ from topo4d_tpu.pipeline.scene import (
     cache_first_frame_attrs,
     init_dense_params,
 )
-from topo4d_tpu.texture.dense import TextureState, make_texture_step
+from topo4d_tpu.texture.dense import (
+    TextureState,
+    make_texture_multi_step,
+    make_texture_step,
+)
 from topo4d_tpu.topology.interpolate import interpolate_dense_attribute
 from topo4d_tpu.parallel.multihost import is_host0
 from topo4d_tpu.utils.profiling import PhaseTimer, device_trace, mpix_per_s
@@ -190,6 +194,7 @@ class Trainer:
         self.dense_means3d = None
         self.dense_anchor = None
         self.texture_step = None
+        self.texture_multi_step = None
         self.metrics_log: List[Dict] = []
         self.timer = PhaseTimer()
         self._weights_cache: Dict[str, Dict[str, jnp.ndarray]] = {}
@@ -363,13 +368,18 @@ class Trainer:
             dense = {k: jnp.asarray(v) for k, v in dense_np.items()}
             self.texture_state = TextureState(params=dense, opt=adam_init(dense))
             self.dense_anchor = dense["dense_rgb_colors"]
-            self.texture_step = make_texture_step(make_dense_render_fn(cfg))
-            self._dense_pre = build_dense_pre_constraints(
-                dense, self.statics.regions
-            )
         else:
             # update_dense_states (train.py:498-508)
             self.dense_anchor = self.texture_state.params["dense_rgb_colors"]
+        if self.texture_step is None:
+            # (re)built here rather than in the state-init branch so a
+            # mid-sequence resume (restored texture_state) still gets them
+            dense_render = make_dense_render_fn(cfg)
+            self.texture_step = make_texture_step(dense_render)
+            self.texture_multi_step = make_texture_multi_step(dense_render)
+            self._dense_pre = build_dense_pre_constraints(
+                self.texture_state.params, self.statics.regions
+            )
 
         topo = self.statics.dense.topo
         self.dense_means3d = interpolate_dense_attribute(
@@ -391,19 +401,74 @@ class Trainer:
             for k, v in self.cfg.dense_weights.as_dict().items()
         }
         # frozen per-view binning (dense means3D are fixed within a frame);
-        # computed lazily on a view's first use, refreshed per rebin_freq
+        # refreshed per rebin_freq (0 = once per frame per view)
         use_binning = (
             cfg.raster.backend == "pallas" and cfg.texture.rebin_freq != 1
         )
-        binnings: Dict[int, object] = {}
-        uses: Dict[int, int] = {}
+        use_scan = cfg.schedule.use_scan and (
+            not use_binning or cfg.texture.rebin_freq == 0
+        )
         if use_binning:
             from topo4d_tpu.rasterizer.pallas import binning_for
 
             from topo4d_tpu.texture.dense import dense_rendervars
 
+            def fresh_binning(v):
+                return binning_for(
+                    dense_rendervars(
+                        self.texture_state.params, self.dense_means3d
+                    ),
+                    cams[v],
+                    max_span=cfg.raster.max_span,
+                )
+
+        num_iters = cfg.schedule.dense_opt_num
+        log_freq = cfg.schedule.dense_log_freq
         metrics = {}
-        for i in range(cfg.schedule.dense_opt_num):
+
+        if use_scan:
+            binnings_stacked = None
+            if use_binning:
+                per_view = [
+                    fresh_binning(v) for v in range(images.shape[0])
+                ]
+                binnings_stacked = jax.tree_util.tree_map(
+                    lambda *x: jnp.stack(x), *per_view
+                )
+            i = 0
+            while i < num_iters:
+                if i % log_freq == 0:
+                    vid = jnp.asarray(order[i], jnp.int32)
+                    binning = None
+                    if binnings_stacked is not None:
+                        binning = jax.tree_util.tree_map(
+                            lambda x: x[order[i]], binnings_stacked
+                        )
+                    self.texture_state, m = self.texture_step(
+                        self.texture_state, self.dense_means3d,
+                        images[order[i]], cams, vid, self.dense_anchor,
+                        self._dense_pre, lr, weights, binning,
+                    )
+                    metrics = {("tex_" + k): float(v) for k, v in m.items()}
+                    metrics["frame"] = t
+                    self.metrics_log.append(dict(metrics))
+                    i += 1
+                    continue
+                j = i + 1
+                while j < num_iters and j % log_freq != 0:
+                    j += 1
+                vids = jnp.asarray(order[i:j], jnp.int32)
+                self.texture_state, _ = self.texture_multi_step(
+                    self.texture_state, self.dense_means3d, images, cams,
+                    vids, self.dense_anchor, self._dense_pre, lr, weights,
+                    binnings_stacked,
+                )
+                i = j
+            return metrics
+
+        binnings: Dict[int, object] = {}
+        uses: Dict[int, int] = {}
+        for i in range(num_iters):
             v = order[i]
             vid = jnp.asarray(v, jnp.int32)
             binning = None
@@ -412,13 +477,7 @@ class Trainer:
                 if v not in binnings or (
                     rebin > 0 and uses[v] >= rebin
                 ):
-                    binnings[v] = binning_for(
-                        dense_rendervars(
-                            self.texture_state.params, self.dense_means3d
-                        ),
-                        cams[v],
-                        max_span=cfg.raster.max_span,
-                    )
+                    binnings[v] = fresh_binning(v)
                     uses[v] = 0
                 uses[v] += 1
                 binning = binnings[v]
@@ -427,8 +486,8 @@ class Trainer:
                 cams, vid, self.dense_anchor, self._dense_pre, lr, weights,
                 binning,
             )
-            if i % cfg.schedule.dense_log_freq == 0:
-                metrics = {("tex_" + k): float(v) for k, v in m.items()}
+            if i % log_freq == 0:
+                metrics = {("tex_" + k): float(val) for k, val in m.items()}
                 metrics["frame"] = t
                 self.metrics_log.append(dict(metrics))
         return metrics

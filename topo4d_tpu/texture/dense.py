@@ -43,8 +43,8 @@ def dense_rendervars(
     )
 
 
-def make_texture_step(render_fn: Callable) -> Callable:
-    """Jitted texture iteration: zero-region scatters -> render -> loss ->
+def _build_texture_step_impl(render_fn: Callable) -> Callable:
+    """Texture iteration body: zero-region scatters -> render -> loss ->
     Adam (reference train.py:729-741, incl. the pre-step color zeroing).
 
     ``render_fn(rv, cam, binning)``: ``binning`` is an optional frozen
@@ -71,8 +71,7 @@ def make_texture_step(render_fn: Callable) -> Callable:
         total = sum(weights[k] * v for k, v in losses.items() if k in weights)
         return total, (losses, out.radii, out.image)
 
-    @jax.jit
-    def step(
+    def step_impl(
         state: TextureState,
         dense_means3d: jnp.ndarray,
         gt: jnp.ndarray,  # (3, H, W)
@@ -83,6 +82,7 @@ def make_texture_step(render_fn: Callable) -> Callable:
         lr: Dict[str, jnp.ndarray],
         weights: Dict[str, jnp.ndarray],
         binning=None,
+        with_metrics: bool = True,
     ) -> Tuple[TextureState, Dict[str, jnp.ndarray]]:
         cam = cams[view_id]
         params = apply_constraints(state.params, pre_constraints)
@@ -92,7 +92,59 @@ def make_texture_step(render_fn: Callable) -> Callable:
         new_params, new_opt = adam_update(params, grads, state.opt, lr)
         metrics = {("loss_" + k): v for k, v in losses.items()}
         metrics["loss_total"] = total
-        metrics["psnr"] = jnp.mean(psnr(im, gt))
+        if with_metrics:
+            # PSNR at 4K costs a full-image pass; the reference reports it
+            # only every dense_log_freq iterations (train.py:742)
+            metrics["psnr"] = jnp.mean(psnr(im, gt))
         return TextureState(params=new_params, opt=new_opt), metrics
 
-    return step
+    return step_impl
+
+
+def make_texture_step(render_fn: Callable) -> Callable:
+    """Single-iteration jitted texture step (see the impl docstring)."""
+    return jax.jit(
+        _build_texture_step_impl(render_fn),
+        static_argnames=("with_metrics",),
+    )
+
+
+def make_texture_multi_step(render_fn: Callable) -> Callable:
+    """Scanned texture segment: one dispatch for a run of iterations.
+
+    ``binnings`` is the per-view frozen-binning pytree STACKED over views
+    (leading axis V) or None; the scan body indexes it by the iteration's
+    view id. Semantics match looping the single step with metrics off.
+    """
+    step_impl = _build_texture_step_impl(render_fn)
+
+    @jax.jit
+    def multi_step(
+        state: TextureState,
+        dense_means3d: jnp.ndarray,
+        images: jnp.ndarray,  # (V, 3, H, W)
+        cams: Camera,
+        view_ids: jnp.ndarray,  # (S,) int32
+        anchor_colors: jnp.ndarray,
+        pre_constraints: Sequence[ScatterConstraint],
+        lr: Dict[str, jnp.ndarray],
+        weights: Dict[str, jnp.ndarray],
+        binnings=None,  # per-view Binning stacked on axis 0, or None
+    ):
+        def body(carry, vid):
+            binning = None
+            if binnings is not None:
+                binning = jax.tree_util.tree_map(
+                    lambda x: x[vid], binnings
+                )
+            new_state, m = step_impl(
+                carry, dense_means3d, images[vid], cams, vid,
+                anchor_colors, pre_constraints, lr, weights, binning,
+                with_metrics=False,
+            )
+            return new_state, m["loss_total"]
+
+        state, losses = jax.lax.scan(body, state, view_ids)
+        return state, losses
+
+    return multi_step
