@@ -46,6 +46,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="JSON config file overriding all defaults.")
     p.add_argument("--backend", type=str, default="pallas",
                    choices=["pallas", "tiled", "oracle"])
+    p.add_argument("--interpret", action="store_true",
+                   help="Run the Pallas kernels in the interpreter "
+                        "(CPU-testable end-to-end).")
     p.add_argument("--views_per_step", type=int, default=1,
                    help="1 = reference parity; 0 = all views batched.")
     p.add_argument("--no_resume", action="store_true")
@@ -80,6 +83,7 @@ def config_from_args(args) -> "Config":
     s.views_per_step = args.views_per_step
     tx.gen_tex, tx.tex_res, tx.density = args.gen_tex, args.tex_res, args.density
     cfg.raster.backend = args.backend
+    cfg.raster.interpret = args.interpret
     if args.no_mask:
         d.use_mask = False
     if args.regions_pkl:

@@ -110,6 +110,8 @@ class RasterizerConfig:
     max_span: int = 4  # tiles per axis per Gaussian before cropping
     chunk: int = 128
     capacity: int = 1024  # tiled backend per-tile capacity
+    # run the Pallas kernels in the interpreter (CPU-testable end-to-end)
+    interpret: bool = False
     near: float = 0.01
     far: float = 100.0
     bg: Tuple[float, float, float] = (0.0, 0.0, 0.0)

@@ -72,7 +72,8 @@ def make_render_fn(cfg: Config):
         from topo4d_tpu.rasterizer.pallas import render_gaussians_pallas
 
         return lambda rv, cam: render_gaussians_pallas(
-            rv, cam, bg=bg, max_span=cfg.raster.max_span, chunk=cfg.raster.chunk
+            rv, cam, bg=bg, max_span=cfg.raster.max_span,
+            chunk=cfg.raster.chunk, interpret=cfg.raster.interpret,
         )
     if backend == "tiled":
         from topo4d_tpu.rasterizer.tiled import render_gaussians_tiled
@@ -99,7 +100,8 @@ def make_dense_render_fn(cfg: Config):
     bg = jnp.asarray(cfg.raster.bg, jnp.float32)
     return lambda rv, cam, binning: render_gaussians_pallas(
         rv, cam, bg=bg, max_span=cfg.raster.max_span,
-        chunk=cfg.raster.chunk, binning=binning,
+        chunk=cfg.raster.chunk, interpret=cfg.raster.interpret,
+        binning=binning,
     )
 
 
