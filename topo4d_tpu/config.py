@@ -131,6 +131,9 @@ class ScheduleConfig:
     dense_log_freq: int = 300
     ckp_freq: int = 5
     views_per_step: int = 1  # 1 = reference parity; 0 = all views batched
+    # batched mode (views_per_step=0) steps per frame; 0 = auto
+    # (ceil(opt_num / num_views) — every step consumes all views)
+    batched_opt_num: int = 0
     # scan runs of identically-configured iterations into one device
     # program (semantics identical to per-iteration dispatch)
     use_scan: bool = True

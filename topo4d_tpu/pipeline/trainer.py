@@ -137,7 +137,13 @@ class Trainer:
         if cfg.schedule.views_per_step == 0 and len(jax.devices()) > 1:
             from topo4d_tpu.parallel.mesh import make_view_mesh
 
-            self.mesh = make_view_mesh(len(jax.devices()))
+            # the view axis must divide evenly; use the largest device
+            # count that divides the rig size (24 views / 8 chips -> 8)
+            v = source.num_views
+            n = len(jax.devices())
+            while n > 1 and v % n != 0:
+                n -= 1
+            self.mesh = make_view_mesh(n) if n > 1 else None
         self.batched_step = make_batched_geometry_step(
             statics.quadruples, statics.umbrellas, self.render_fn,
             sequential_views=(cfg.raster.backend == "pallas"),
@@ -283,27 +289,48 @@ class Trainer:
         weights = self.weights_for(step_phase)
 
         if batched:
-            constraints = self._constraints(iter_attrs(0)[0])
-            lr = self.lrs_for(iter_attrs(0)[1])
+            # every step consumes ALL views (summed gradients), so the
+            # schedule contracts by the view count; phase boundaries
+            # (eye freeze, polish) keep their fractional positions
+            nb = sched.batched_opt_num or -(-num_iters // images.shape[0])
+            log_every = max(1, round(nb * sched.log_freq / num_iters))
             if self.mesh is not None:
                 from topo4d_tpu.parallel.mesh import shard_view_batch
 
                 images = shard_view_batch(self.mesh, images)
                 cams = shard_view_batch(self.mesh, cams)
-            self.state, self.priors, m = self.batched_step(
-                self.state, images, cams, self.priors, constraints,
-                lr, weights, step_phase,
-            )
-            metrics = {k: float(v) for k, v in m.items()}
-            metrics["frame"] = t
-            metrics["iter"] = 0
-            self.metrics_log.append(dict(metrics))
-            if cfg.data.log_views:
-                report_progress(
-                    self.state.params, self.render_fn, cams,
-                    images, frame_data.view_names, cfg.data.log_views,
-                    self._out_dir, t + 1, 0,
+            metrics = {}
+            for i in range(nb):
+                frac = i / nb
+                if is_init:
+                    con_phase = (
+                        "init_early" if frac < sched.eye_freeze_frac
+                        else "init"
+                    )
+                    lr_key = "init"
+                else:
+                    con_phase = "track"
+                    lr_key = (
+                        "polish"
+                        if frac >= 1.0 - sched.polish_iters / num_iters
+                        else "track"
+                    )
+                self.state, self.priors, m = self.batched_step(
+                    self.state, images, cams, self.priors,
+                    self._constraints(con_phase), self.lrs_for(lr_key),
+                    weights, step_phase,
                 )
+                if i % log_every == 0 or i == nb - 1:
+                    metrics = {k: float(v) for k, v in m.items()}
+                    metrics["frame"] = t
+                    metrics["iter"] = i
+                    self.metrics_log.append(dict(metrics))
+                    if cfg.data.log_views:
+                        report_progress(
+                            self.state.params, self.render_fn, cams,
+                            images, frame_data.view_names,
+                            cfg.data.log_views, self._out_dir, t + 1, i,
+                        )
             return metrics
 
         i = 0
