@@ -547,12 +547,31 @@ class Trainer:
                         jnp.asarray, payload["texture_state"]
                     )
 
+        # frame IO prefetch: decode frame t+1's images (24 views, 4K at
+        # texture res) on a worker thread while the device fits frame t
+        from concurrent.futures import ThreadPoolExecutor
+
+        want_tex = cfg.texture.gen_tex and self.statics.dense is not None
+
+        def load(t1):
+            geo = self.source.frame(t1)
+            tex = (
+                self.source.frame(t1, full_res=True)
+                if want_tex and geo is not None else None
+            )
+            return geo, tex
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        pending = pool.submit(load, start_frame + 1)
+
         with device_trace() as tracing:
             if tracing:
                 print(f"[topo4d] jax.profiler trace enabled")
             for t in range(start_frame, cfg.schedule.frame_num):
                 t_start = time.time()
-                frame_data = self.source.frame(t + 1)
+                frame_data, tex_data = pending.result()
+                if t + 1 < cfg.schedule.frame_num:
+                    pending = pool.submit(load, t + 2)
                 if frame_data is None:
                     break
                 geo_t0 = time.perf_counter()
@@ -567,11 +586,9 @@ class Trainer:
                     num_iters, time.perf_counter() - geo_t0,
                 ), 3)
 
-                if cfg.texture.gen_tex and self.statics.dense is not None:
-                    tex_data = self.source.frame(t + 1, full_res=True)
-                    if tex_data is not None:
-                        with self.timer.phase("texture"):
-                            self.fit_frame_texture(t, tex_data)
+                if want_tex and tex_data is not None:
+                    with self.timer.phase("texture"):
+                        self.fit_frame_texture(t, tex_data)
 
                 self.output_params.append(
                     ckpt.params_snapshot(self.state.params, t == 0)
@@ -623,6 +640,8 @@ class Trainer:
                     self.timer.write(
                         os.path.join(self._out_dir, "timings.json")
                     )
+
+        pool.shutdown(wait=False, cancel_futures=True)
 
         # final params.npz regardless of ckp_freq (the reference only saves
         # every 5 frames, so short runs end with no params at all)
