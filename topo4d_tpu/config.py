@@ -152,6 +152,9 @@ class DataConfig:
     use_mask_dense: bool = False
     startup_mesh: str = "face_v5.obj"
     regions_pkl: str = "assets/facial_regions.pkl"
+    # resume checkpoint backend: "pickle" (single-host default) or
+    # "orbax" (async-safe directory semantics, multi-host aware)
+    checkpoint_backend: str = "pickle"
     rotate_mask: Dict[str, int] = dataclasses.field(
         default_factory=lambda: dict(DEFAULT_ROTATE_MASK)
     )

@@ -91,6 +91,89 @@ def load_resume(out_dir: str):
         return pickle.load(fh)
 
 
+# --------------------------------------------------------------- orbax
+# Optional orbax-backed resume (SURVEY §5 checkpoint row): the same
+# payload pytree stored through orbax's PyTreeCheckpointer — async-safe
+# atomic directory semantics, multi-host aware. The pickle path remains
+# the default (single-host, no extra deps at runtime).
+
+def _plain(tree):
+    """NamedTuples -> plain dicts (orbax-storable), None fields dropped."""
+    if hasattr(tree, "_asdict"):
+        tree = tree._asdict()
+    if isinstance(tree, dict):
+        return {
+            k: _plain(v) for k, v in tree.items() if v is not None
+        }
+    if isinstance(tree, (list, tuple)):
+        return [_plain(v) for v in tree]
+    return np.asarray(tree)
+
+
+def save_resume_orbax(out_dir: str, frame: int, state, priors,
+                      first_frame_attrs, output_params,
+                      texture_state=None):
+    import orbax.checkpoint as ocp
+
+    payload = {
+        "frame": np.asarray(frame),
+        "state": _plain(state),
+        "priors": _plain(priors),
+        "first_frame_attrs": (
+            _plain(first_frame_attrs)
+            if first_frame_attrs is not None else {}
+        ),
+        "output_params": _plain(output_params),
+        "texture_state": (
+            _plain(texture_state) if texture_state is not None else {}
+        ),
+    }
+    path = os.path.abspath(os.path.join(out_dir, "resume_orbax"))
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, payload, force=True)
+
+
+def load_resume_orbax(out_dir: str):
+    """Restore the orbax resume payload with typed state reconstructed."""
+    import orbax.checkpoint as ocp
+
+    from topo4d_tpu.losses.temporal import TemporalPriors
+    from topo4d_tpu.opt.adam import AdamState
+    from topo4d_tpu.opt.step import GeometryPriors, TrainState
+
+    path = os.path.abspath(os.path.join(out_dir, "resume_orbax"))
+    if not os.path.isdir(path):
+        return None
+    p = ocp.PyTreeCheckpointer().restore(path)
+    state = TrainState(
+        params=p["state"]["params"],
+        opt=AdamState(**p["state"]["opt"]),
+        max_2d_radius=p["state"]["max_2d_radius"],
+    )
+    pr = dict(p["priors"])
+    pr["temporal"] = TemporalPriors(**pr["temporal"])
+    priors = GeometryPriors(**pr)
+    texture_state = None
+    if p.get("texture_state"):
+        from topo4d_tpu.texture.dense import TextureState
+
+        texture_state = TextureState(
+            params=p["texture_state"]["params"],
+            opt=AdamState(**p["texture_state"]["opt"]),
+        )
+    return {
+        "frame": int(np.asarray(p["frame"])),
+        "state": state,
+        "priors": priors,
+        "first_frame_attrs": p.get("first_frame_attrs") or None,
+        "output_params": [
+            {k: np.asarray(v) for k, v in d.items()}
+            for d in p["output_params"]
+        ],
+        "texture_state": texture_state,
+    }
+
+
 def write_loss_json(out_dir: str, losses_enabled: Dict, weights: Dict):
     """One-shot loss config dump (reference helpers.py:826-833)."""
     import json

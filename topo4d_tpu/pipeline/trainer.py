@@ -529,9 +529,19 @@ class Trainer:
         io = is_host0()
         if io:
             os.makedirs(self._out_dir, exist_ok=True)
+        save_resume = (
+            ckpt.save_resume_orbax
+            if cfg.data.checkpoint_backend == "orbax"
+            else ckpt.save_resume
+        )
+        load_resume = (
+            ckpt.load_resume_orbax
+            if cfg.data.checkpoint_backend == "orbax"
+            else ckpt.load_resume
+        )
         start_frame = 0
         if resume:
-            payload = ckpt.load_resume(self._out_dir)
+            payload = load_resume(self._out_dir)
             if payload is not None:
                 start_frame = payload["frame"]
                 self.state = jax.tree_util.tree_map(
@@ -607,7 +617,7 @@ class Trainer:
                             self.cfg.weights.as_dict(),
                         )
                     if io:
-                        ckpt.save_resume(
+                        save_resume(
                             self._out_dir, t + 1, self.state, self.priors,
                             self.first_frame_attrs, self.output_params,
                             self.texture_state,
