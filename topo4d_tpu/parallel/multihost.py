@@ -20,14 +20,21 @@ def initialize_multihost(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    auto: Optional[bool] = None,
 ) -> bool:
     """Initialize jax.distributed when a multi-process env is configured.
 
-    Explicit args win; otherwise the standard env vars
-    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or a
-    TPU pod's automatic configuration via the bare ``initialize()``).
-    Returns True when distributed mode was initialized, False for the
-    single-process no-op. Safe to call twice (second call is a no-op).
+    Three modes, in precedence order:
+    1. Explicit args / standard env vars (JAX_COORDINATOR_ADDRESS +
+       JAX_NUM_PROCESSES>1 [+ JAX_PROCESS_ID]).
+    2. ``auto=True`` or ``TOPO4D_MULTIHOST=auto`` — a bare
+       ``jax.distributed.initialize()`` (TPU pods self-configure from the
+       cluster environment); a configuration failure raises, it does NOT
+       silently fall back to per-host single-process mode (which would
+       make every host believe it is host 0).
+    3. Neither — single-process no-op, returns False.
+
+    Safe to call twice (second call is a no-op).
     """
     if getattr(initialize_multihost, "_done", False):
         return getattr(initialize_multihost, "_distributed", False)
@@ -38,6 +45,8 @@ def initialize_multihost(
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
+    if auto is None:
+        auto = os.environ.get("TOPO4D_MULTIHOST", "").lower() == "auto"
     distributed = False
     if coordinator_address is not None and (num_processes or 0) > 1:
         jax.distributed.initialize(
@@ -46,6 +55,16 @@ def initialize_multihost(
             process_id=process_id,
         )
         distributed = True
+    elif auto:
+        try:
+            jax.distributed.initialize()
+        except Exception as exc:
+            raise RuntimeError(
+                "TOPO4D_MULTIHOST=auto requested but jax.distributed "
+                "auto-configuration failed (not a recognized cluster "
+                f"environment?): {exc}"
+            ) from exc
+        distributed = jax.process_count() > 1
     initialize_multihost._done = True
     initialize_multihost._distributed = distributed
     return distributed

@@ -294,6 +294,8 @@ class Trainer:
             # (eye freeze, polish) keep their fractional positions
             nb = sched.batched_opt_num or -(-num_iters // images.shape[0])
             log_every = max(1, round(nb * sched.log_freq / num_iters))
+            # throughput accounting: every batched step renders all views
+            self._last_geo_renders = nb * images.shape[0]
             if self.mesh is not None:
                 from topo4d_tpu.parallel.mesh import shard_view_batch
 
@@ -333,6 +335,7 @@ class Trainer:
                         )
             return metrics
 
+        self._last_geo_renders = num_iters  # one view per iteration
         i = 0
         while i < num_iters:
             con_phase, lr_key, log_this = iter_attrs(i)
@@ -510,12 +513,13 @@ class Trainer:
                     uses[v] = 0
                 uses[v] += 1
                 binning = binnings[v]
+            log_this = i % log_freq == 0
             self.texture_state, m = self.texture_step(
                 self.texture_state, self.dense_means3d, images[order[i]],
                 cams, vid, self.dense_anchor, self._dense_pre, lr, weights,
-                binning,
+                binning, with_metrics=log_this,
             )
-            if i % log_freq == 0:
+            if log_this:
                 metrics = {("tex_" + k): float(val) for k, val in m.items()}
                 metrics["frame"] = t
                 self.metrics_log.append(dict(metrics))
@@ -541,7 +545,7 @@ class Trainer:
         )
         start_frame = 0
         if resume:
-            payload = load_resume(self._out_dir)
+            payload = self._synced_resume(load_resume)
             if payload is not None:
                 start_frame = payload["frame"]
                 self.state = jax.tree_util.tree_map(
@@ -574,89 +578,117 @@ class Trainer:
         pool = ThreadPoolExecutor(max_workers=1)
         pending = pool.submit(load, start_frame + 1)
 
-        with device_trace() as tracing:
-            if tracing:
-                print(f"[topo4d] jax.profiler trace enabled")
-            for t in range(start_frame, cfg.schedule.frame_num):
-                t_start = time.time()
-                frame_data, tex_data = pending.result()
-                if t + 1 < cfg.schedule.frame_num:
-                    pending = pool.submit(load, t + 2)
-                if frame_data is None:
-                    break
-                geo_t0 = time.perf_counter()
-                with self.timer.phase("geometry"):
-                    geo = self.fit_frame_geometry(t, frame_data)
-                num_iters = (
-                    cfg.schedule.init_opt_num if t == 0
-                    else cfg.schedule.opt_num
-                )
-                geo["mpix_per_s"] = round(mpix_per_s(
-                    self.source.cameras.height, self.source.cameras.width,
-                    num_iters, time.perf_counter() - geo_t0,
-                ), 3)
+        try:
+            with device_trace() as tracing:
+                if tracing:
+                    print(f"[topo4d] jax.profiler trace enabled")
+                for t in range(start_frame, cfg.schedule.frame_num):
+                    t_start = time.time()
+                    frame_data, tex_data = pending.result()
+                    if t + 1 < cfg.schedule.frame_num:
+                        pending = pool.submit(load, t + 2)
+                    if frame_data is None:
+                        break
+                    geo_t0 = time.perf_counter()
+                    with self.timer.phase("geometry"):
+                        geo = self.fit_frame_geometry(t, frame_data)
+                    # _last_geo_renders counts images actually rendered (one
+                    # per iteration single-view; views*steps batched)
+                    geo["mpix_per_s"] = round(mpix_per_s(
+                        self.source.cameras.height, self.source.cameras.width,
+                        self._last_geo_renders, time.perf_counter() - geo_t0,
+                    ), 3)
 
-                if want_tex and tex_data is not None:
-                    with self.timer.phase("texture"):
-                        self.fit_frame_texture(t, tex_data)
+                    if want_tex and tex_data is not None:
+                        with self.timer.phase("texture"):
+                            self.fit_frame_texture(t, tex_data)
 
-                self.output_params.append(
-                    ckpt.params_snapshot(self.state.params, t == 0)
-                )
-                if t == 0:
-                    self.first_frame_attrs = cache_first_frame_attrs(
-                        self.state.params, self.statics.regions
+                    self.output_params.append(
+                        ckpt.params_snapshot(self.state.params, t == 0)
                     )
-
-                with self.timer.phase("checkpoint"):
-                    if io and t % cfg.schedule.ckp_freq == 0 and t != 0:
-                        ckpt.save_params(self.output_params, self._out_dir)
-                        ckpt.write_loss_json(
-                            self._out_dir,
-                            {k: True for k in self.statics.quadruples},
-                            self.cfg.weights.as_dict(),
-                        )
-                    if io:
-                        save_resume(
-                            self._out_dir, t + 1, self.state, self.priors,
-                            self.first_frame_attrs, self.output_params,
-                            self.texture_state,
+                    if t == 0:
+                        self.first_frame_attrs = cache_first_frame_attrs(
+                            self.state.params, self.statics.regions
                         )
 
-                with self.timer.phase("export"):
-                    if io:
-                        save_mesh(
-                            os.path.join(self._out_dir, "%06d" % (t + 1)),
-                            self.state.params,
-                            self.statics,
-                            t + 1,
-                            dense_params=(
-                                self.texture_state.params
-                                if self.texture_state else None
-                            ),
-                            tex_res=cfg.texture.tex_res,
-                            gen_texture=cfg.texture.gen_tex,
-                            bake_window=cfg.texture.bake_window,
-                            bake_bands=cfg.texture.bake_bands,
-                        )
-                geo["frame_seconds"] = round(time.time() - t_start, 4)
-                self.metrics_log.append(
-                    {"frame": t, "summary": True,
-                     "frame_seconds": geo["frame_seconds"],
-                     "mpix_per_s": geo["mpix_per_s"]}
-                )
-                if io:
-                    self._write_metrics()
-                    self.timer.write(
-                        os.path.join(self._out_dir, "timings.json")
+                    with self.timer.phase("checkpoint"):
+                        if io and t % cfg.schedule.ckp_freq == 0 and t != 0:
+                            ckpt.save_params(self.output_params, self._out_dir)
+                            ckpt.write_loss_json(
+                                self._out_dir,
+                                {k: True for k in self.statics.quadruples},
+                                self.cfg.weights.as_dict(),
+                            )
+                        if io:
+                            save_resume(
+                                self._out_dir, t + 1, self.state, self.priors,
+                                self.first_frame_attrs, self.output_params,
+                                self.texture_state,
+                            )
+
+                    with self.timer.phase("export"):
+                        if io:
+                            save_mesh(
+                                os.path.join(self._out_dir, "%06d" % (t + 1)),
+                                self.state.params,
+                                self.statics,
+                                t + 1,
+                                dense_params=(
+                                    self.texture_state.params
+                                    if self.texture_state else None
+                                ),
+                                tex_res=cfg.texture.tex_res,
+                                gen_texture=cfg.texture.gen_tex,
+                                bake_window=cfg.texture.bake_window,
+                                bake_bands=cfg.texture.bake_bands,
+                            )
+                    geo["frame_seconds"] = round(time.time() - t_start, 4)
+                    self.metrics_log.append(
+                        {"frame": t, "summary": True,
+                         "frame_seconds": geo["frame_seconds"],
+                         "mpix_per_s": geo["mpix_per_s"]}
                     )
+                    if io:
+                        self._write_metrics()
+                        self.timer.write(
+                            os.path.join(self._out_dir, "timings.json")
+                        )
 
-        pool.shutdown(wait=False, cancel_futures=True)
+        finally:
+            # cancel the in-flight decode on any exit path
+            pool.shutdown(wait=False, cancel_futures=True)
 
         # final params.npz regardless of ckp_freq (the reference only saves
         # every 5 frames, so short runs end with no params at all)
         if io and self.output_params:
             ckpt.save_params(self.output_params, self._out_dir)
+
+    def _synced_resume(self, load_resume):
+        """Load the resume payload, consistently across hosts.
+
+        Every process reads the checkpoint (multi-host resume requires a
+        shared output_dir — only host 0 writes it); host 0's frame index
+        is broadcast and any disagreement fails fast instead of letting
+        hosts run divergent per-frame programs.
+        """
+        payload = load_resume(self._out_dir)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            local = -1 if payload is None else payload["frame"]
+            host0 = int(
+                multihost_utils.broadcast_one_to_all(
+                    np.asarray(local, np.int32)
+                )
+            )
+            if host0 != local:
+                raise RuntimeError(
+                    f"resume checkpoint mismatch: host 0 is at frame "
+                    f"{host0} but process {jax.process_index()} read "
+                    f"{local}; multi-host resume requires output_dir on "
+                    f"a shared filesystem"
+                )
+        return payload
 
     def _write_metrics(self):
         with open(os.path.join(self._out_dir, "metrics.jsonl"), "w") as fh:

@@ -70,56 +70,18 @@ def bin_gaussians(
     their top-left max_span x max_span sub-rect and counted in
     ``num_cropped``.
     """
-    n = proj.means2d.shape[0]
-    x0, y0, x1, y1, tiles_x, tiles_y = tile_rect(proj, width, height)
-    span_w = x1 - x0
-    span_h = y1 - y0
-    cropped = (span_w > max_span) | (span_h > max_span)
-    num_cropped = jnp.sum(cropped & proj.mask).astype(jnp.int32)
-
-    r = max_span * max_span
-    k = jnp.arange(r, dtype=jnp.int32)
-    di = k // max_span  # tile row offset
-    dj = k % max_span  # tile col offset
-    # (N, R) tile coordinates
-    ty = y0[:, None] + di[None, :]
-    tx = x0[:, None] + dj[None, :]
-    valid = (
-        proj.mask[:, None]
-        & (di[None, :] < span_h[:, None])
-        & (dj[None, :] < span_w[:, None])
+    flat_tile, flat_rank, order, num_cropped, num_tiles, _ = _binning_keys(
+        proj, width, height, max_span
     )
-    num_tiles = tiles_x * tiles_y
-    tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
-
-    # depth rank: stable global front-to-back order (depth, index)
-    key = jnp.where(proj.mask, proj.depths, jnp.inf)
-    order = jnp.argsort(key, stable=True)
-    rank = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
-
-    flat_tile = tile_id.reshape(-1)
-    flat_rank = jnp.broadcast_to(rank[:, None], (n, r)).reshape(-1)
-    flat_gid = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, r)
-    ).reshape(-1)
-
-    sorted_tile, _, sorted_gid = jax.lax.sort(
-        (flat_tile, flat_rank, flat_gid), num_keys=2, is_stable=True
+    sorted_tile, sorted_rank = jax.lax.sort(
+        (flat_tile, flat_rank), num_keys=2, is_stable=True
     )
-    entry_valid = sorted_tile < num_tiles
-
-    tile_start = jnp.searchsorted(
-        sorted_tile, jnp.arange(num_tiles, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
-    tile_end = jnp.searchsorted(
-        sorted_tile, jnp.arange(num_tiles, dtype=jnp.int32), side="right"
-    ).astype(jnp.int32)
-
+    tile_start, tile_count = _tile_ranges(sorted_tile, num_tiles)
     return TileBins(
-        gauss_id=sorted_gid,
-        entry_valid=entry_valid,
+        gauss_id=order[sorted_rank].astype(jnp.int32),
+        entry_valid=sorted_tile < num_tiles,
         tile_start=tile_start,
-        tile_count=tile_end - tile_start,
+        tile_count=tile_count,
         num_cropped=num_cropped,
     )
 
@@ -207,13 +169,15 @@ class Binning(NamedTuple):
     num_cropped: jnp.ndarray  # () int32
 
 
-@functools.partial(
-    jax.jit, static_argnames=("width", "height", "max_span")
-)
-def compute_binning(
-    proj: Projected, width: int, height: int, max_span: int = 4
-) -> Binning:
-    """Duplicate-and-sort once; returns the reusable permutation."""
+def _binning_keys(proj: Projected, width: int, height: int, max_span: int):
+    """Shared duplicate-and-key step of every binning variant.
+
+    Returns (flat_tile (N*R,), flat_rank (N*R,), order (N,), num_cropped,
+    num_tiles, fuse_key_ok) — the inputs to the (tile, depth-rank) sort.
+    ONE implementation backs both the sort-with-data packing and the
+    frozen ``compute_binning``, so the cached/direct equivalence cannot
+    drift.
+    """
     n = proj.means2d.shape[0]
     x0, y0, x1, y1, tiles_x, tiles_y = tile_rect(proj, width, height)
     span_w = x1 - x0
@@ -240,10 +204,33 @@ def compute_binning(
     rank = jnp.zeros(n, jnp.int32).at[order].set(
         jnp.arange(n, dtype=jnp.int32)
     )
-
     flat_tile = tile_id.reshape(-1)
     flat_rank = jnp.broadcast_to(rank[:, None], (n, r)).reshape(-1)
-    if (t + 1) * n < 2**31:
+    return flat_tile, flat_rank, order, num_cropped, t, (t + 1) * n < 2**31
+
+
+def _tile_ranges(sorted_tile, t):
+    start = jnp.searchsorted(
+        sorted_tile, jnp.arange(t, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    end = jnp.searchsorted(
+        sorted_tile, jnp.arange(t, dtype=jnp.int32), side="right"
+    ).astype(jnp.int32)
+    return start, end - start
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "max_span")
+)
+def compute_binning(
+    proj: Projected, width: int, height: int, max_span: int = 4
+) -> Binning:
+    """Duplicate-and-sort once; returns the reusable permutation."""
+    n = proj.means2d.shape[0]
+    flat_tile, flat_rank, order, num_cropped, t, fuse_ok = _binning_keys(
+        proj, width, height, max_span
+    )
+    if fuse_ok:
         fused = flat_tile * jnp.int32(n) + flat_rank
         sorted_key, sorted_rank = jax.lax.sort(
             (fused, flat_rank), num_keys=1, is_stable=False
@@ -253,18 +240,13 @@ def compute_binning(
         sorted_tile, sorted_rank = jax.lax.sort(
             (flat_tile, flat_rank), num_keys=2, is_stable=True
         )
-    tile_start = jnp.searchsorted(
-        sorted_tile, jnp.arange(t, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
-    tile_end = jnp.searchsorted(
-        sorted_tile, jnp.arange(t, dtype=jnp.int32), side="right"
-    ).astype(jnp.int32)
+    tile_start, tile_count = _tile_ranges(sorted_tile, t)
     return Binning(
         sorted_gid=order[sorted_rank].astype(jnp.int32),
         sorted_tile=sorted_tile,
         entry_valid=sorted_tile < t,
         tile_start=tile_start,
-        tile_count=tile_end - tile_start,
+        tile_count=tile_count,
         num_cropped=num_cropped,
     )
 
@@ -351,33 +333,11 @@ def _bin_pack_fwd_impl(
         mask=maskf > 0.5,
     )
     n = proj.means2d.shape[0]
-    x0, y0, x1, y1, tiles_x, tiles_y = tile_rect(proj, width, height)
-    span_w = x1 - x0
-    span_h = y1 - y0
-    cropped = (span_w > max_span) | (span_h > max_span)
-    num_cropped = jnp.sum(cropped & proj.mask).astype(jnp.int32)
-
     r = max_span * max_span
-    k = jnp.arange(r, dtype=jnp.int32)
-    di = k // max_span
-    dj = k % max_span
-    ty = y0[:, None] + di[None, :]
-    tx = x0[:, None] + dj[None, :]
-    valid = (
-        proj.mask[:, None]
-        & (di[None, :] < span_h[:, None])
-        & (dj[None, :] < span_w[:, None])
-    )
-    t = tiles_x * tiles_y
-    tile_id = jnp.where(valid, ty * tiles_x + tx, t).astype(jnp.int32)
-
-    key = jnp.where(proj.mask, proj.depths, jnp.inf)
-    order = jnp.argsort(key, stable=True)
-    rank = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
-
     e = n * r
-    flat_tile = tile_id.reshape(-1)
-    flat_rank = jnp.broadcast_to(rank[:, None], (n, r)).reshape(-1)
+    flat_tile, flat_rank, order, num_cropped, t, fuse_ok = _binning_keys(
+        proj, width, height, max_span
+    )
 
     def expand(v):
         return jnp.broadcast_to(v[:, None], (n, r)).reshape(-1)
@@ -394,7 +354,7 @@ def _bin_pack_fwd_impl(
         expand(colors[:, 2]),
         expand(proj.depths),
     )
-    if (t + 1) * n < 2**31:
+    if fuse_ok:
         # fused single int32 key sorts ~2x faster than lexicographic
         fused = flat_tile * jnp.int32(n) + flat_rank
         sorted_vals = jax.lax.sort(
@@ -403,7 +363,6 @@ def _bin_pack_fwd_impl(
         sorted_key = sorted_vals[0]
         sorted_tile = sorted_key // jnp.int32(n)
         sorted_rank = sorted_key - sorted_tile * jnp.int32(n)
-        sorted_vals = sorted_vals[:1] + sorted_vals[1:]
         data_sorted = sorted_vals[1:]
     else:
         # large tile*N products (dense texture phase at 4K): two-key sort
@@ -414,12 +373,7 @@ def _bin_pack_fwd_impl(
         sorted_rank = sorted_vals[1]
         data_sorted = sorted_vals[2:]
 
-    tile_start = jnp.searchsorted(
-        sorted_tile, jnp.arange(t, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
-    tile_end = jnp.searchsorted(
-        sorted_tile, jnp.arange(t, dtype=jnp.int32), side="right"
-    ).astype(jnp.int32)
+    tile_start, tile_count = _tile_ranges(sorted_tile, t)
 
     zeros = jnp.zeros(e, jnp.float32)
     rows = [
@@ -448,7 +402,7 @@ def _bin_pack_fwd_impl(
     # recover each sorted entry's gaussian id from its sorted rank:
     # gid = depth-order[rank] (no extra sort operand)
     sorted_gid = order[sorted_rank]
-    out = (packed, tile_start, tile_end - tile_start, num_cropped)
+    out = (packed, tile_start, tile_count, num_cropped)
     residuals = (sorted_gid.astype(jnp.int32), entry_valid)
     return out, residuals
 
