@@ -345,3 +345,27 @@ def test_batched_mode_trains_full_schedule(tmp_path):
     last = next(r for r in rows_logged if r["iter"] == 3)
     assert last["psnr"] > 20.0
     assert np.isfinite(last["loss_total"])
+
+
+def test_report_progress_writes_views(tmp_path):
+    from topo4d_tpu.core.gaussian import activate_params
+    from topo4d_tpu.pipeline.progress import report_progress
+    from topo4d_tpu.rasterizer.tiled import render_gaussians_tiled
+    from topo4d_tpu.testing import make_synthetic_scene
+
+    params = {
+        k: jnp.asarray(v) for k, v in make_synthetic_scene(n=50).items()
+    }
+    params["cam_m"] = jnp.zeros((2, 3))
+    params["cam_c"] = jnp.zeros((2, 3))
+    cams = make_camera_ring(2, width=32, height=24)
+    render_fn = lambda rv, cam: render_gaussians_tiled(rv, cam, capacity=128)
+    gt = jnp.zeros((2, 3, 24, 32))
+    p = report_progress(
+        params, render_fn, cams, gt, ["view00", "view01"], ["view01"],
+        str(tmp_path), frame=1, iteration=7,
+    )
+    assert p is not None and np.isfinite(p)
+    assert os.path.exists(
+        os.path.join(str(tmp_path), "000001", "visview01_7.png")
+    )

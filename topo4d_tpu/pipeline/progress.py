@@ -8,14 +8,33 @@ ground truth, and save PNGs under ``<out>/<frame>/``.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Dict, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from topo4d_tpu.core.gaussian import activate_params
 from topo4d_tpu.losses.image import psnr
+
+
+@functools.partial(
+    jax.jit, static_argnames=("render_fn", "apply_exposure")
+)
+def _log_view(render_fn, params, rv, cam, gt, vid, apply_exposure):
+    """One jitted render+exposure+PSNR per log view (eager ops through a
+    tunneled TPU cost seconds each; the trainer passes the same render_fn
+    object every call, so this compiles once)."""
+    out = render_fn(rv, cam)
+    im = out.image
+    if apply_exposure and "cam_m" in params:
+        im = (
+            jnp.exp(params["cam_m"][vid])[:, None, None] * im
+            + params["cam_c"][vid][:, None, None]
+        )
+    return jnp.clip(im, 0.0, 1.0), jnp.mean(psnr(im, gt))
 
 
 def save_render_png(image: jnp.ndarray, path: str) -> None:
@@ -49,14 +68,11 @@ def report_progress(
         if name not in view_names:
             continue
         vid = list(view_names).index(name)
-        out = render_fn(rv, cams[vid])
-        im = out.image
-        if apply_exposure and "cam_m" in params:
-            im = (
-                jnp.exp(params["cam_m"][vid])[:, None, None] * im
-                + params["cam_c"][vid][:, None, None]
-            )
-        last = float(jnp.mean(psnr(im, images[vid])))
+        im, view_psnr = _log_view(
+            render_fn, params, rv, cams[vid], images[vid],
+            jnp.asarray(vid, jnp.int32), apply_exposure,
+        )
+        last = float(view_psnr)
         save_render_png(
             im, os.path.join(frame_dir, f"vis{name}_{iteration}.png")
         )
