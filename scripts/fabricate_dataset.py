@@ -138,6 +138,23 @@ def fabricate(root, num_views=4, num_frames=2, rows=10, cols=10,
                 os.path.join(fdir, f"view{v:02d}.png")
             )
 
+    # face-parsing mask tree (mask/%06d/<view>.png): black background with
+    # an inner-mouth-colored block so the dimming path has pixels to hit
+    from topo4d_tpu.config import DEFAULT_CMAP_INDEX
+    from topo4d_tpu.pipeline.masks import bgr_colormap
+
+    mouth_color = bgr_colormap(14)[DEFAULT_CMAP_INDEX["inner_mouth"]]
+    for t in range(1, num_frames + 1):
+        mdir = os.path.join(seq, "mask", "%06d" % t)
+        os.makedirs(mdir, exist_ok=True)
+        for v in range(num_views):
+            mk = np.zeros((work_h, work_w, 3), np.uint8)
+            mk[work_h // 2 : work_h // 2 + 4,
+               work_w // 2 : work_w // 2 + 4] = mouth_color
+            Image.fromarray(mk).save(
+                os.path.join(mdir, f"view{v:02d}.png")
+            )
+
     # full-resolution tree for the texture phase (-did <root>_dense):
     # dense cameras are the working ones with intrinsics scaled by `ratio`
     from topo4d_tpu.core.camera import Camera

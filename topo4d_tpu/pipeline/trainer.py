@@ -262,10 +262,14 @@ class Trainer:
             and cfg.data.use_mask
             and frame_data.masks is not None
         ):
-            masks = jnp.asarray(frame_data.masks)
-            images = jax.vmap(
-                lambda im, mk: dim_inner_mouth(im, mk, cfg.data.cmap_index)
-            )(images, masks)
+            if not hasattr(self, "_dim_mouth"):
+                # built once: a per-frame lambda would retrace every call
+                self._dim_mouth = jax.jit(jax.vmap(
+                    lambda im, mk: dim_inner_mouth(
+                        im, mk, cfg.data.cmap_index
+                    )
+                ))
+            images = self._dim_mouth(images, jnp.asarray(frame_data.masks))
 
         order = view_order(images.shape[0], num_iters, seed=t)
         metrics = {}
