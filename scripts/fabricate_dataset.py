@@ -168,15 +168,24 @@ def fabricate(root, num_views=4, num_frames=2, rows=10, cols=10,
     dseq = os.path.join(root + "_dense", "seq01")
     src_d = SyntheticSequence(params=params, cameras=dense_cams,
                               num_frames=num_frames)
+    skin_color = bgr_colormap(14)[DEFAULT_CMAP_INDEX["skin"]]
     for t in range(1, num_frames + 1):
         fd = src_d.frame(t)
         fdir = os.path.join(dseq, "%06d" % t)
         os.makedirs(fdir, exist_ok=True)
+        mdir = os.path.join(dseq, "mask", "%06d" % t)
+        os.makedirs(mdir, exist_ok=True)
         for v in range(num_views):
             im = np.clip(fd.images[v].transpose(1, 2, 0), 0, 1)
             Image.fromarray((im * 255).astype(np.uint8)).save(
                 os.path.join(fdir, f"view{v:02d}.png")
             )
+            # full-res parsing mask: center half marked "skin" so the
+            # masked dense loss (use_mask_dense) has a live region
+            mk = np.zeros((full_h, full_w, 3), np.uint8)
+            mk[full_h // 4 : 3 * full_h // 4,
+               full_w // 4 : 3 * full_w // 4] = skin_color
+            Image.fromarray(mk).save(os.path.join(mdir, f"view{v:02d}.png"))
     print(f"fabricated dataset at {root} (+ dense tree at {root}_dense)")
 
 

@@ -83,3 +83,41 @@ def test_texture_step_cached_binning_tracks_direct(dense_setup):
     # deviate only through radii drift from rotation updates
     assert cached_losses[0] == pytest.approx(direct_losses[0], rel=1e-6)
     np.testing.assert_allclose(cached_losses, direct_losses, rtol=1e-3)
+
+
+def test_texture_step_masked_loss(dense_setup):
+    """use_mask_dense: masked L1 over parsing regions (train.py:392-405)."""
+    from topo4d_tpu.config import DEFAULT_CMAP_INDEX
+    from topo4d_tpu.pipeline.masks import bgr_colormap
+
+    params, cams, means, gt = dense_setup
+    render = lambda rv, cam, b: render_gaussians_pallas(
+        rv, cam, max_span=8, chunk=128, interpret=True, binning=b
+    )
+    step = make_texture_step(
+        render, use_mask=True, cmap_index=DEFAULT_CMAP_INDEX
+    )
+    h, w = 32, 48
+    mask_img = np.zeros((3, h, w), np.float32)
+    skin = bgr_colormap(14)[DEFAULT_CMAP_INDEX["skin"]].astype(np.float32)
+    mask_img[:, 8:24, 12:36] = (skin / 255.0)[:, None, None]
+
+    state = TextureState(params=dict(params), opt=adam_init(params))
+    anchor = params["dense_rgb_colors"]
+    lr = {k: jnp.asarray(0.01, jnp.float32) for k in params}
+    weights = {"im": jnp.asarray(1.0), "soft_color": jnp.asarray(0.02)}
+    vid = jnp.asarray(0, jnp.int32)
+    state, m = step(
+        state, means, gt, cams, vid, anchor, (), lr, weights, None,
+        mask=jnp.asarray(mask_img),
+    )
+    # the im term equals a hand-computed masked L1 on the RENDERED image
+    rv = dense_rendervars(dict(params), means)
+    im = render_gaussians_pallas(
+        rv, cams[0], max_span=8, chunk=128, interpret=True
+    ).image
+    region = np.zeros((h, w), bool)
+    region[8:24, 12:36] = True
+    diff = np.abs(np.asarray(im) - np.asarray(gt))[:, region]
+    want = diff.sum() / (3 * region.sum())
+    np.testing.assert_allclose(float(m["loss_im"]), want, rtol=1e-5)

@@ -89,8 +89,11 @@ class DiskSequence:
         root = data.dense_input_dir if full_res else data.input_dir
         frame_dir = os.path.join(root, data.seq, "%06d" % t)
         mask_root = os.path.join(root, data.seq, "mask")
-        use_mask = data.use_mask and not full_res and os.path.isdir(mask_root)
-        if data.use_mask and not full_res and not os.path.isdir(mask_root):
+        want_mask = (
+            data.use_mask_dense if full_res else data.use_mask
+        )
+        use_mask = want_mask and os.path.isdir(mask_root)
+        if want_mask and not os.path.isdir(mask_root):
             if not getattr(self, "_warned_no_mask", False):
                 print(
                     f"[topo4d] mask dir {mask_root} not found - proceeding "

@@ -411,8 +411,12 @@ class Trainer:
             # (re)built here rather than in the state-init branch so a
             # mid-sequence resume (restored texture_state) still gets them
             dense_render = make_dense_render_fn(cfg)
-            self.texture_step = make_texture_step(dense_render)
-            self.texture_multi_step = make_texture_multi_step(dense_render)
+            self.texture_step = make_texture_step(
+                dense_render, cfg.data.use_mask_dense, cfg.data.cmap_index
+            )
+            self.texture_multi_step = make_texture_multi_step(
+                dense_render, cfg.data.use_mask_dense, cfg.data.cmap_index
+            )
             self._dense_pre = build_dense_pre_constraints(
                 self.texture_state.params, self.statics.regions
             )
@@ -425,6 +429,10 @@ class Trainer:
             jnp.asarray(topo.weights),
         )
         images = jnp.asarray(frame_data.images)
+        # masked dense loss (train.py:392-405): parsing images ride along
+        masks = None
+        if cfg.data.use_mask_dense and frame_data.masks is not None:
+            masks = jnp.asarray(frame_data.masks)
         cams = self.source.cameras_full
         order = view_order(
             images.shape[0], cfg.schedule.dense_opt_num, seed=10_000 + t
@@ -484,6 +492,7 @@ class Trainer:
                         self.texture_state, self.dense_means3d,
                         images[order[i]], cams, vid, self.dense_anchor,
                         self._dense_pre, lr, weights, binning,
+                        mask=None if masks is None else masks[order[i]],
                     )
                     metrics = {("tex_" + k): float(v) for k, v in m.items()}
                     metrics["frame"] = t
@@ -497,7 +506,7 @@ class Trainer:
                 self.texture_state, _ = self.texture_multi_step(
                     self.texture_state, self.dense_means3d, images, cams,
                     vids, self.dense_anchor, self._dense_pre, lr, weights,
-                    binnings_stacked,
+                    binnings_stacked, masks,
                 )
                 i = j
             return metrics
@@ -522,6 +531,7 @@ class Trainer:
                 self.texture_state, self.dense_means3d, images[order[i]],
                 cams, vid, self.dense_anchor, self._dense_pre, lr, weights,
                 binning, with_metrics=log_this,
+                mask=None if masks is None else masks[order[i]],
             )
             if log_this:
                 metrics = {("tex_" + k): float(val) for k, val in m.items()}

@@ -12,7 +12,7 @@ gather (``topology.interpolate``).
 from __future__ import annotations
 
 import functools
-from typing import Callable, Dict, NamedTuple, Sequence, Tuple
+from typing import Callable, Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,6 +23,12 @@ from topo4d_tpu.core.quaternion import quat_normalize
 from topo4d_tpu.losses.image import l1_loss_sum_last, photometric_loss, psnr
 from topo4d_tpu.opt.adam import AdamState, adam_update
 from topo4d_tpu.opt.constraints import ScatterConstraint, apply_constraints
+
+# facial regions kept in the masked dense loss (reference train.py:396-398)
+DENSE_MASK_LABELS = (
+    "skin", "l_eyebrow", "r_eyebrow", "nose", "upper_lip", "lower_lip",
+    "l_ear", "r_ear", "hair",
+)
 
 
 class TextureState(NamedTuple):
@@ -43,7 +49,11 @@ def dense_rendervars(
     )
 
 
-def _build_texture_step_impl(render_fn: Callable) -> Callable:
+def _build_texture_step_impl(
+    render_fn: Callable,
+    use_mask: bool = False,
+    cmap_index: Optional[Dict[str, int]] = None,
+) -> Callable:
     """Texture iteration body: zero-region scatters -> render -> loss ->
     Adam (reference train.py:729-741, incl. the pre-step color zeroing).
 
@@ -53,17 +63,32 @@ def _build_texture_step_impl(render_fn: Callable) -> Callable:
     order is stable across the 301 iterations; reusing the permutation
     removes the per-iteration duplicate-and-sort. ``texture.rebin_freq``
     in the config selects the cadence (0 = once per frame per view).
+
+    ``use_mask`` (the reference's ``use_mask_dense``, train.py:392-405):
+    the photometric term becomes a parsing-masked L1 over the facial
+    regions in ``DENSE_MASK_LABELS`` — sum |im-gt| over masked pixels
+    divided by the masked-pixel count; the step then takes a ``mask``
+    (3, H, W) parsing image argument.
     """
 
     def loss_fn(params, dense_means3d, gt, cam, anchor_colors, weights,
-                binning):
+                binning, mask):
         rv = dense_rendervars(params, dense_means3d)
         out = render_fn(rv, cam, binning)
-        losses = {
+        if use_mask:
+            from topo4d_tpu.pipeline.masks import get_mask
+
+            m = get_mask(DENSE_MASK_LABELS, mask, cmap_index)
+            im_loss = jnp.sum(jnp.abs((out.image - gt) * m)) / jnp.maximum(
+                jnp.sum(m), 1.0
+            )
+        else:
             # remat: at 4K the SSIM intermediates alone are ~1.5 GB of
             # saved residuals; recomputing them in backward keeps the
             # texture phase inside HBM
-            "im": jax.checkpoint(photometric_loss)(out.image, gt),
+            im_loss = jax.checkpoint(photometric_loss)(out.image, gt)
+        losses = {
+            "im": im_loss,
             "soft_color": l1_loss_sum_last(
                 params["dense_rgb_colors"], anchor_colors
             ),
@@ -83,12 +108,16 @@ def _build_texture_step_impl(render_fn: Callable) -> Callable:
         weights: Dict[str, jnp.ndarray],
         binning=None,
         with_metrics: bool = True,
+        mask=None,  # (3, H, W) parsing image when use_mask
     ) -> Tuple[TextureState, Dict[str, jnp.ndarray]]:
         cam = cams[view_id]
         params = apply_constraints(state.params, pre_constraints)
         (total, (losses, radii, im)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(params, dense_means3d, gt, cam, anchor_colors, weights, binning)
+        )(
+            params, dense_means3d, gt, cam, anchor_colors, weights,
+            binning, mask,
+        )
         new_params, new_opt = adam_update(params, grads, state.opt, lr)
         metrics = {("loss_" + k): v for k, v in losses.items()}
         metrics["loss_total"] = total
@@ -101,22 +130,32 @@ def _build_texture_step_impl(render_fn: Callable) -> Callable:
     return step_impl
 
 
-def make_texture_step(render_fn: Callable) -> Callable:
+def make_texture_step(
+    render_fn: Callable,
+    use_mask: bool = False,
+    cmap_index: Optional[Dict[str, int]] = None,
+) -> Callable:
     """Single-iteration jitted texture step (see the impl docstring)."""
     return jax.jit(
-        _build_texture_step_impl(render_fn),
+        _build_texture_step_impl(render_fn, use_mask, cmap_index),
         static_argnames=("with_metrics",),
     )
 
 
-def make_texture_multi_step(render_fn: Callable) -> Callable:
+def make_texture_multi_step(
+    render_fn: Callable,
+    use_mask: bool = False,
+    cmap_index: Optional[Dict[str, int]] = None,
+) -> Callable:
     """Scanned texture segment: one dispatch for a run of iterations.
 
     ``binnings`` is the per-view frozen-binning pytree STACKED over views
     (leading axis V) or None; the scan body indexes it by the iteration's
-    view id. Semantics match looping the single step with metrics off.
+    view id. ``masks`` is the (V, 3, H, W) parsing batch when the masked
+    dense loss is on. Semantics match looping the single step with
+    metrics off.
     """
-    step_impl = _build_texture_step_impl(render_fn)
+    step_impl = _build_texture_step_impl(render_fn, use_mask, cmap_index)
 
     @jax.jit
     def multi_step(
@@ -130,6 +169,7 @@ def make_texture_multi_step(render_fn: Callable) -> Callable:
         lr: Dict[str, jnp.ndarray],
         weights: Dict[str, jnp.ndarray],
         binnings=None,  # per-view Binning stacked on axis 0, or None
+        masks=None,  # (V, 3, H, W) parsing images, or None
     ):
         def body(carry, vid):
             binning = None
@@ -141,6 +181,7 @@ def make_texture_multi_step(render_fn: Callable) -> Callable:
                 carry, dense_means3d, images[vid], cams, vid,
                 anchor_colors, pre_constraints, lr, weights, binning,
                 with_metrics=False,
+                mask=None if masks is None else masks[vid],
             )
             return new_state, m["loss_total"]
 
