@@ -155,3 +155,52 @@ def test_cached_binning_matches_direct(scene):
         np.testing.assert_allclose(
             b / scale, a / scale, rtol=1e-4, atol=1e-6, err_msg=k
         )
+
+
+def test_gradients_in_saturated_windows_match_oracle():
+    """>80 nats of opacity in one window: the log-space backward stays
+    exact where a clamped division-based reconstruction breaks down."""
+    n = 64  # all in one tile -> one window, sum log(1-0.99) ~ 295 nats
+    rng = np.random.default_rng(5)
+    params = {
+        "means3D": jnp.asarray(
+            rng.normal(0, 0.003, (n, 3)).astype(np.float32)
+            + np.array([0, 0, 0], np.float32)
+        ),
+        "rgb_colors": jnp.asarray(
+            rng.uniform(0.2, 0.8, (n, 3)).astype(np.float32)
+        ),
+        "unnorm_rotations": jnp.asarray(
+            np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+        ),
+        "logit_opacities": jnp.full((n, 1), 8.0),  # sigmoid -> ~0.9997
+        "log_scales": jnp.full((n, 3), np.log(0.05)),
+    }
+    cam = make_synthetic_camera(width=32, height=32)
+    rng2 = np.random.default_rng(6)
+    target = jnp.asarray(
+        rng2.uniform(0, 1, (3, 32, 32)).astype(np.float32)
+    )
+
+    def loss(params, renderer):
+        out = renderer(activate_params(params), cam)
+        return (
+            jnp.mean(jnp.abs(out.image - target))
+            + 0.05 * jnp.mean(out.alpha)
+        )
+
+    g_ref = jax.grad(loss)(
+        params, lambda rv, c: render_gaussians(rv, c)
+    )
+    g_pal = jax.grad(loss)(
+        params,
+        lambda rv, c: render_gaussians_pallas(
+            rv, c, max_span=8, chunk=128, interpret=True
+        ),
+    )
+    for k in g_ref:
+        a, b = np.asarray(g_ref[k]), np.asarray(g_pal[k])
+        scale = np.maximum(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(
+            b / scale, a / scale, rtol=2e-3, atol=5e-5, err_msg=k
+        )

@@ -109,3 +109,16 @@ def test_nonmultiple_image_sizes(scene):
     np.testing.assert_allclose(
         np.asarray(got.image), np.asarray(ref.image), rtol=1e-4, atol=1e-5
     )
+
+
+def test_capacity_not_multiple_of_chunk(scene):
+    """capacity % chunk != 0 must not double-blend the overlap region."""
+    _, rv, cam = scene
+    aligned = render_gaussians_tiled(rv, cam, capacity=128, chunk=64)
+    odd = render_gaussians_tiled(rv, cam, capacity=100, chunk=64)
+    # both capacities cover every tile in this scene (no overflow), so
+    # the images must agree exactly
+    assert int(aligned.num_overflow) == 0 and int(odd.num_overflow) == 0
+    np.testing.assert_allclose(
+        np.asarray(odd.image), np.asarray(aligned.image), atol=1e-6
+    )

@@ -17,13 +17,16 @@ tile-id field. Kernel techniques:
 - early termination: the window loop exits once every pixel's
   transmittance drops below 1e-4 (the CUDA per-pixel 'done' rule);
 - the backward kernel runs a SINGLE reverse sweep: the forward saves its
-  early-termination window count (out row 5) and final raw transmittance
-  carry (out row 6) as residuals, and the reverse sweep reconstructs each
-  window's transmittance by division — t_excl = t_out·exp(s_excl−s_total)
-  — exactly the trick the reference CUDA backward uses per entry
-  (T /= (1−alpha), diff-gaussian-rasterization backward.cu), vectorized
-  per 128-entry window. No forward resweep, and windows past the
-  termination point (whose gradients are identically zero) are skipped;
+  early-termination window count (out row 5) and final LOG transmittance
+  carry (out row 6, a sum of log1p terms) as residuals, and the reverse
+  sweep reconstructs each window's transmittance in log space —
+  t_excl = exp(log_t_in + s_excl) with log_t_in = log_t_out − s_total —
+  the same back-to-front reconstruction the reference CUDA backward does
+  per entry (T /= (1−alpha), diff-gaussian-rasterization backward.cu),
+  but with exact log sums instead of divisions, so saturated windows
+  underflow to the correct 0 rather than dividing 0/0. No forward
+  resweep, and windows past the termination point (whose gradients are
+  identically zero) are skipped;
 - monotone window schedule: entries are sorted by (tile, depth), so when
   tiles are processed in ascending order (forward) the global 128-entry
   window index never decreases, and in DESCENDING order (backward, whose
@@ -55,7 +58,6 @@ from topo4d_tpu.core.gaussian import ALPHA_MAX, ALPHA_MIN, TRANSMITTANCE_MIN
 from topo4d_tpu.rasterizer.tiles import PACK_CHUNK, PACK_FIELDS, TILE
 
 PX = TILE * TILE  # 256 pixels per tile
-_EXP_CLAMP = 80.0  # cap for exp() args in the reverse T reconstruction
 
 
 def _pixel_coords(tile_idx, tiles_x: int):
@@ -122,20 +124,25 @@ def _window_bounds(start, count, chunk):
     """First window index and number of windows covering [start, start+count)."""
     first = start // chunk
     last = (start + count + chunk - 1) // chunk
-    return first, jnp.maximum(last - first, 0)
+    # empty tiles (count=0, unaligned start) must not claim a window
+    return first, jnp.where(count > 0, last - first, 0)
 
 
 def _fwd_window(data, px, py, tile_f, u_prefix, t_un, acc, chunk):
     """One forward window: blend ``data`` into (t_un, t_fr_min, acc).
 
-    Returns (t_un_out, window_t_fr, acc_out) where window_t_fr is the
-    min surviving inclusive transmittance of this window (1 where none).
+    Returns (t_un_out, window_t_fr, acc_out, s_total) where window_t_fr
+    is the min surviving inclusive transmittance of this window (1 where
+    none) and s_total = Σ log1p(-alpha) over the window — the log-space
+    transmittance delta the backward reconstructs from (exactly; sums of
+    logs never underflow the way the raw product does).
     """
     alpha, _, _, _, _ = _chunk_terms(data, px, py, tile_f)
     log1m = jnp.log1p(-alpha)
     s_excl = jax.lax.dot(
         log1m, u_prefix, preferred_element_type=jnp.float32
     )  # (PX, chunk) exclusive prefix along entries
+    s_total = s_excl[:, chunk - 1 : chunk] + log1m[:, chunk - 1 : chunk]
     t_excl_l = jnp.exp(s_excl)
     t_incl_l = t_excl_l * (1.0 - alpha)
     t_excl = t_un * t_excl_l
@@ -153,7 +160,7 @@ def _fwd_window(data, px, py, tile_f, u_prefix, t_un, acc, chunk):
     t_fr = jnp.min(
         jnp.where(keep2, t_incl, 1.0), axis=1, keepdims=True
     )
-    return t_un_out, t_fr, acc
+    return t_un_out, t_fr, acc, s_total
 
 
 def _fwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
@@ -202,11 +209,11 @@ def _fwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
                 @pl.when(jnp.logical_not(hit))
                 def _():
                     get_dma(base, 0).wait()
-                t_un, t_fr, acc = _fwd_window(
+                t_un, t_fr, acc, s_total = _fwd_window(
                     buf[base], px, py, tile_f, u_prefix, ones, acc0, chunk
                 )
                 out = jnp.concatenate(
-                    [acc[:, 0:4], t_fr, ones, t_un,
+                    [acc[:, 0:4], t_fr, ones, s_total,
                      jnp.zeros((PX, 1), jnp.float32)],
                     axis=1,
                 )
@@ -218,13 +225,13 @@ def _fwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
             def _(k=k, px=px, py=py, tile_f=tile_f, get_dma=get_dma,
                   hit=hit, base=base, first=first):
                 def cond(state):
-                    c, t_un, t_fr, acc = state
+                    c, t_un, t_fr, acc, log_t = state
                     return jnp.logical_and(
                         c < k, jnp.max(t_un) >= TRANSMITTANCE_MIN
                     )
 
                 def body(state):
-                    c, t_un, t_fr, acc = state
+                    c, t_un, t_fr, acc, log_t = state
                     slot = jax.lax.rem(c + base, 2)
 
                     @pl.when(c + 1 < k)
@@ -236,14 +243,18 @@ def _fwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
                     @pl.when(jnp.logical_or(c > 0, jnp.logical_not(hit)))
                     def _():
                         get_dma(slot, c).wait()
-                    t_un, w_fr, acc = _fwd_window(
+                    t_un, w_fr, acc, s_total = _fwd_window(
                         buf[slot], px, py, tile_f, u_prefix, t_un, acc,
                         chunk,
                     )
-                    return (c + 1, t_un, jnp.minimum(t_fr, w_fr), acc)
+                    return (
+                        c + 1, t_un, jnp.minimum(t_fr, w_fr), acc,
+                        log_t + s_total,
+                    )
 
-                c_end, t_un, t_fr, acc = jax.lax.while_loop(
-                    cond, body, (jnp.int32(0), ones, ones, acc0)
+                zeros1 = jnp.zeros((PX, 1), jnp.float32)
+                c_end, t_un, t_fr, acc, log_t = jax.lax.while_loop(
+                    cond, body, (jnp.int32(0), ones, ones, acc0, zeros1)
                 )
 
                 # early termination leaves one prefetched DMA in flight —
@@ -262,12 +273,13 @@ def _fwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
 
                 # rows 5/6 carry backward residuals: the number of windows
                 # the forward actually processed (early termination) and
-                # the raw final transmittance carry (reverse seed)
+                # the LOG-SPACE final transmittance carry (the reverse
+                # sweep reconstructs per-window T by exact log sums)
                 c_end_col = jnp.broadcast_to(
                     c_end.astype(jnp.float32), (PX, 1)
                 )
                 out = jnp.concatenate(
-                    [acc[:, 0:4], t_fr, c_end_col, t_un,
+                    [acc[:, 0:4], t_fr, c_end_col, log_t,
                      jnp.zeros((PX, 1), jnp.float32)],
                     axis=1,
                 )
@@ -339,7 +351,7 @@ def _bwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
     per window.
 
     Transmittance is reconstructed back-to-front from the forward's saved
-    final carry (out row 6) by window-level division, and only the windows
+    final LOG carry (out row 6) by exact log-space sums, and only the windows
     the forward actually processed (out row 5) are visited. Descending
     tiles + the per-tile back-to-front sweep make the global window index
     monotone non-increasing, so a single VMEM accumulator (flushed to HBM
@@ -408,14 +420,21 @@ def _bwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
 
 
 def _bwd_window_grads(
-    data, px, py, tile_f, ox, oy, g8, gt_final, t_out, suf,
+    data, px, py, tile_f, ox, oy, g8, gt_final, log_t_out, suf,
     u_prefix, l_suffix, basis, chunk,
 ):
     """Gradients of one reverse-sweep window.
 
-    Returns (dout (16, chunk), suf_out (PX, 1), t_in (PX, 1)): the packed
-    entry gradients, the updated running suffix Σ w·(g·feat), and the
-    reconstructed transmittance entering the PREVIOUS (earlier) window.
+    Returns (dout (16, chunk), suf_out (PX, 1), log_t_in (PX, 1)): the
+    packed entry gradients, the updated running suffix Σ w·(g·feat), and
+    the LOG transmittance entering the PREVIOUS (earlier) window.
+
+    Transmittance is reconstructed in log space: with log_t_in =
+    log_t_out - s_total (exact sums of log1p terms, no division), the
+    exponent log_t_in + s_excl is always <= 0 — exp never overflows and
+    saturated windows underflow to the mathematically-correct 0 instead
+    of a clamped estimate (the CUDA backward's T /= (1-alpha) divisions
+    hit the same saturation issue this avoids).
     """
     alpha, raw, g_exp, dx, dy = _chunk_terms(data, px, py, tile_f)
     log1m = jnp.log1p(-alpha)
@@ -423,12 +442,8 @@ def _bwd_window_grads(
         log1m, u_prefix, preferred_element_type=jnp.float32
     )
     s_total = jnp.sum(log1m, axis=1, keepdims=True)  # (PX, 1)
-    # t_excl = t_in * exp(s_excl) with t_in = t_out / prod(1-alpha):
-    # division by the window suffix product, clamped so a fully
-    # saturated t_out==0 stays 0 instead of 0*inf
-    t_excl = t_out * jnp.exp(
-        jnp.minimum(s_excl - s_total, _EXP_CLAMP)
-    )
+    log_t_in = log_t_out - s_total
+    t_excl = jnp.exp(log_t_in + s_excl)
     t_incl = t_excl * (1.0 - alpha)
     keep2 = t_incl >= TRANSMITTANCE_MIN
     w = alpha * t_excl * jnp.where(keep2, 1.0, 0.0)
@@ -477,21 +492,21 @@ def _bwd_window_grads(
     dym = -(cb * gx + cc * gy)
     # dpow = dalpha·op·g_exp  =>  Σ dalpha·g_exp = m0 / op
     dop = m0 / jnp.maximum(data[5:6, :], 1e-30)
+    # only the 4 real feature rows (8..11: r, g, b, depth) take gradient;
+    # cotangent columns 4..7 (T_final etc.) must NOT leak into pad rows
     dfeat = jax.lax.dot_general(
-        g8,
+        g8[:, 0:4],
         w,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (8, chunk)
+    )  # (4, chunk)
 
-    zero = jnp.zeros((2, chunk), jnp.float32)
+    zero2 = jnp.zeros((2, chunk), jnp.float32)
+    zero4 = jnp.zeros((4, chunk), jnp.float32)
     dout = jnp.concatenate(
-        [dxm, dym, dca, dcb, dcc, dop, zero, dfeat], axis=0
+        [dxm, dym, dca, dcb, dcc, dop, zero2, dfeat, zero4], axis=0
     )  # (16, chunk)
-    # carry the reconstructed incoming transmittance to the previous
-    # window (clamped: a saturated 0 carry stays 0)
-    t_in = t_out * jnp.exp(jnp.minimum(-s_total, _EXP_CLAMP))
-    return dout, suf + jnp.sum(q, axis=1, keepdims=True), t_in
+    return dout, suf + jnp.sum(q, axis=1, keepdims=True), log_t_in
 
 
 def _bwd_one_tile(
@@ -511,7 +526,7 @@ def _bwd_one_tile(
     # g8 (PX, 8): cols 0-3 feature grads, col 4 T_final grad
     g_final = g8[:, 4:5]  # (PX, 1)
     gt_final = g_final * fwd8[:, 4:5]  # g_T * frozen T_final
-    t_seed = fwd8[:, 6:7]  # raw final transmittance carry
+    log_seed = fwd8[:, 6:7]  # LOG final transmittance carry (exact sums)
 
     def get_dma(slot, c):
         off = pl.multiple_of((first + c) * chunk, chunk)
@@ -567,7 +582,7 @@ def _bwd_one_tile(
         def _():
             get_dma(base, 0).wait()
         dout, _, _ = _bwd_window_grads(
-            buf[base], px, py, tile_f, ox, oy, g8, gt_final, t_seed,
+            buf[base], px, py, tile_f, ox, oy, g8, gt_final, log_seed,
             suf0, u_prefix, l_suffix, basis, chunk,
         )
         acc_window(dout, first)
@@ -577,7 +592,7 @@ def _bwd_one_tile(
     @pl.when(k > 1)
     def _():
         def rbody(j, carry):
-            suf, t_out = carry
+            suf, log_t_out = carry
             c = k - 1 - j
             slot = jax.lax.rem(j + base, 2)
 
@@ -588,14 +603,14 @@ def _bwd_one_tile(
             @pl.when(jnp.logical_or(j > 0, jnp.logical_not(hit)))
             def _():
                 get_dma(slot, c).wait()
-            dout, suf, t_in = _bwd_window_grads(
-                buf[slot], px, py, tile_f, ox, oy, g8, gt_final, t_out,
+            dout, suf, log_t_in = _bwd_window_grads(
+                buf[slot], px, py, tile_f, ox, oy, g8, gt_final, log_t_out,
                 suf, u_prefix, l_suffix, basis, chunk,
             )
             acc_window(dout, first + c)
-            return (suf, t_in)
+            return (suf, log_t_in)
 
-        jax.lax.fori_loop(0, k, rbody, (suf0, t_seed))
+        jax.lax.fori_loop(0, k, rbody, (suf0, log_seed))
 
         # the sweep's last DMA-completed window is this tile's FIRST window
         scal[0] = first
@@ -672,7 +687,7 @@ def pallas_blend(
 
     Rows 0-3: alpha-blended (r, g, b, depth); row 4: final (frozen)
     transmittance T_final; rows 5/6: backward residuals (window count,
-    raw T carry); row 7: zero. Background compositing and
+    log T carry); row 7: zero. Background compositing and
     alpha = 1 - T_final happen in XLA outside. Layout note: the minor dim
     must be PX (=256), not 8 — XLA pads small minor dims to 128 lanes.
     """

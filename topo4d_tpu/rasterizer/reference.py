@@ -26,7 +26,11 @@ from topo4d_tpu.core.gaussian import (
     Projected,
     project_gaussians,
 )
-from topo4d_tpu.rasterizer.tiles import TILE, tile_rect
+from topo4d_tpu.rasterizer.tiles import (  # noqa: F401 (re-export)
+    TILE,
+    depth_sorted_order,
+    tile_rect,
+)
 
 
 class RenderOutput(NamedTuple):
@@ -38,14 +42,8 @@ class RenderOutput(NamedTuple):
     alpha: jnp.ndarray  # (1, H, W)
 
 
-def depth_sorted_order(proj: Projected) -> jnp.ndarray:
-    """Front-to-back Gaussian order: stable sort by view z, culled last.
-
-    The stable (depth, index) key is what makes results bitwise
-    reproducible across chip counts (SURVEY §7 hard part 3).
-    """
-    key = jnp.where(proj.mask, proj.depths, jnp.inf)
-    return jnp.argsort(key, stable=True)
+# depth_sorted_order lives in tiles.py (single definition shared with the
+# binning variants) and is re-exported above for oracle users.
 
 
 def _alpha_at_pixels(

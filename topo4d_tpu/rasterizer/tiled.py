@@ -117,8 +117,11 @@ def render_binned(
         axis=-1,
     )  # (E, 4)
 
-    # fixed-capacity per-tile entry indices
-    k = jnp.arange(capacity, dtype=jnp.int32)
+    # fixed-capacity per-tile entry indices, padded to a whole number of
+    # chunks: a clamped final dynamic_slice would otherwise overlap the
+    # previous chunk and double-blend its entries
+    cap_pad = -(-capacity // chunk) * chunk
+    k = jnp.arange(cap_pad, dtype=jnp.int32)
     idx = jnp.clip(bins.tile_start[:, None] + k[None, :], 0, max(e - 1, 0))
     in_range = k[None, :] < jnp.minimum(bins.tile_count, capacity)[:, None]
     num_overflow = jnp.sum(

@@ -96,9 +96,9 @@ class PackedBins(NamedTuple):
 
     Entries are sorted by (tile, depth) and stored UNPADDED; a tile's range
     [start, start+count) may share its boundary 128-entry DMA windows with
-    neighboring tiles. Kernels mask foreign entries via the tile-id field,
-    and the backward kernel accumulates shared windows read-modify-write
-    under sequential grid execution.
+    neighboring tiles. Kernels mask foreign entries via the tile-id field;
+    the backward kernel's monotone window schedule accumulates each shared
+    window in VMEM and flushes it to HBM exactly once (see pallas_blend).
 
     packed layout (PACK_FIELDS, E_pad) — fields x entries, transposed so
     entries ride the 128-lane axis (DMA windows need 128-aligned minor
@@ -129,8 +129,10 @@ def bin_gaussians_packed(
 
     Unlike the fixed-capacity path there is NO per-tile entry limit: every
     (gaussian, tile) pair within the span capacity gets an entry. E_out is
-    the static bound N*max_span^2 + T*chunk. ``chunk`` must be 128 (the
-    Mosaic lane-alignment unit of the transposed layout).
+    the static bound N*max_span^2 rounded up past the next chunk boundary
+    (a single tail pad keeps boundary DMA windows in bounds). ``chunk``
+    must be a multiple of 128 (Mosaic lane alignment of the transposed
+    layout).
 
     Custom VJP: the backward of a data-carrying sort is a permutation
     scatter per operand (~2.7 ms/step on TPU); instead the saved
@@ -169,6 +171,19 @@ class Binning(NamedTuple):
     num_cropped: jnp.ndarray  # () int32
 
 
+def depth_sorted_order(proj: Projected) -> jnp.ndarray:
+    """Front-to-back Gaussian order: stable sort by view z, culled last.
+
+    The stable (depth, index) key is what makes results bitwise
+    reproducible across chip counts (SURVEY §7 hard part 3). ONE
+    definition — the oracle (rasterizer.reference) and every binning
+    variant import this, so blend-order parity cannot drift in
+    depth-tie cases.
+    """
+    key = jnp.where(proj.mask, proj.depths, jnp.inf)
+    return jnp.argsort(key, stable=True)
+
+
 def _binning_keys(proj: Projected, width: int, height: int, max_span: int):
     """Shared duplicate-and-key step of every binning variant.
 
@@ -199,8 +214,7 @@ def _binning_keys(proj: Projected, width: int, height: int, max_span: int):
     t = tiles_x * tiles_y
     tile_id = jnp.where(valid, ty * tiles_x + tx, t).astype(jnp.int32)
 
-    key = jnp.where(proj.mask, proj.depths, jnp.inf)
-    order = jnp.argsort(key, stable=True)
+    order = depth_sorted_order(proj)
     rank = jnp.zeros(n, jnp.int32).at[order].set(
         jnp.arange(n, dtype=jnp.int32)
     )
@@ -265,6 +279,8 @@ def pack_with_binning(
     (10, N) -> (10, E) take is one scatter-add — the same segment-sum the
     sort-with-data custom VJP implements by hand.
     """
+    if chunk % PACK_CHUNK:
+        raise ValueError(f"chunk must be a multiple of {PACK_CHUNK}")
     fields = jnp.stack(
         [
             proj.means2d[:, 0],
