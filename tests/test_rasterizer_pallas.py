@@ -204,3 +204,60 @@ def test_gradients_in_saturated_windows_match_oracle():
         np.testing.assert_allclose(
             b / scale, a / scale, rtol=2e-3, atol=5e-5, err_msg=k
         )
+
+
+def test_batched_quad_tile_fast_path_matches_oracle():
+    """Sparse scene: every grid step's 4 tiles share window 0 -> the
+    batched (tps*PX, chunk) fast path runs and must match the oracle."""
+    n = 24
+    rng = np.random.default_rng(9)
+    params = {
+        "means3D": jnp.asarray(
+            rng.uniform(-0.4, 0.4, (n, 3)).astype(np.float32)
+        ),
+        "rgb_colors": jnp.asarray(
+            rng.uniform(0.1, 0.9, (n, 3)).astype(np.float32)
+        ),
+        "unnorm_rotations": jnp.asarray(
+            np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+        ),
+        "logit_opacities": jnp.asarray(
+            rng.uniform(0.5, 3.0, (n, 1)).astype(np.float32)
+        ),
+        "log_scales": jnp.full((n, 3), np.log(0.02)),
+    }
+    rv = activate_params(params)
+    cam = make_synthetic_camera(width=128, height=64)  # 8x4 = 32 tiles
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    ref = render_gaussians(rv, cam, bg=bg)
+    got = render_gaussians_pallas(
+        rv, cam, bg=bg, max_span=2, chunk=128, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.image), np.asarray(ref.image), rtol=1e-4, atol=1e-5
+    )
+
+    # gradients through the same sparse configuration
+    target = jnp.asarray(
+        rng.uniform(0, 1, (3, 64, 128)).astype(np.float32)
+    )
+
+    def loss(params, renderer):
+        out = renderer(activate_params(params), cam)
+        return jnp.mean(jnp.abs(out.image - target)) + 0.05 * jnp.mean(
+            out.alpha
+        )
+
+    g_ref = jax.grad(loss)(params, lambda rv, c: render_gaussians(rv, c, bg=bg))
+    g_pal = jax.grad(loss)(
+        params,
+        lambda rv, c: render_gaussians_pallas(
+            rv, c, bg=bg, max_span=2, chunk=128, interpret=True
+        ),
+    )
+    for k in g_ref:
+        a, b = np.asarray(g_ref[k]), np.asarray(g_pal[k])
+        scale = np.maximum(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(
+            b / scale, a / scale, rtol=2e-3, atol=2e-5, err_msg=k
+        )

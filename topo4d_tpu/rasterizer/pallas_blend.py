@@ -70,6 +70,22 @@ def _pixel_coords(tile_idx, tiles_x: int):
     return px, py
 
 
+def _pixel_coords_batch(i0, tiles_x: int, tps: int):
+    """Coordinates of ``tps`` consecutive tiles stacked on sublanes.
+
+    Returns (px, py, tile_f), each (tps*PX, 1): rows [t*PX, (t+1)*PX)
+    belong to tile i0+t. Lets one MXU matmul serve all tps tiles.
+    """
+    row = jax.lax.broadcasted_iota(jnp.int32, (tps * PX, 1), 0)
+    tile_idx = i0 + row // PX
+    p = row % PX
+    tx = tile_idx % tiles_x
+    ty = tile_idx // tiles_x
+    px = (tx * TILE + p % TILE).astype(jnp.float32)
+    py = (ty * TILE + p // TILE).astype(jnp.float32)
+    return px, py, tile_idx.astype(jnp.float32)
+
+
 def _moment_basis():
     """(PX, 8) tile-LOCAL pixel moment basis [1, px, py, px^2, px*py, py^2, 0, 0].
 
@@ -176,119 +192,210 @@ def _fwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
             scal[0] = -1
             scal[1] = 0
 
-        for t_off in range(tiles_per_step):  # static unroll
-            i = step * tiles_per_step + t_off
-            first, k = _window_bounds(start_ref[i], count_ref[i], chunk)
-            px, py = _pixel_coords(i, tiles_x)
-            tile_f = i.astype(jnp.float32)
-            # ascending tiles => ascending first; a hit means the previous
-            # tile's last-loaded window IS this tile's first window
-            hit = jnp.logical_and(k > 0, scal[0] == first)
-            base = jnp.where(hit, scal[1], 0)
+        # batched fast path: at geometry scale (~23 entries/tile vs the
+        # 128-entry window) all tiles of a step often fit ONE shared
+        # window — then a single (tps*PX, chunk) matmul serves them all
+        i0 = step * tiles_per_step
+        firsts = []
+        ks = []
+        for t_off in range(tiles_per_step):
+            f_t, k_t = _window_bounds(
+                start_ref[i0 + t_off], count_ref[i0 + t_off], chunk
+            )
+            firsts.append(f_t)
+            ks.append(k_t)
+        # reference window = the first nonempty tile's window; empty tiles
+        # (k==0) join the batch harmlessly (all entries foreign -> masked
+        # to the default empty output)
+        f_ref = firsts[0]
+        any_entries = ks[0] > 0
+        for t_off in range(1, tiles_per_step):
+            f_ref = jnp.where(any_entries, f_ref, firsts[t_off])
+            any_entries = jnp.logical_or(any_entries, ks[t_off] > 0)
+        batchable = jnp.logical_and(
+            jnp.bool_(tiles_per_step > 1), any_entries
+        )
+        for t_off in range(tiles_per_step):
+            batchable = jnp.logical_and(batchable, ks[t_off] <= 1)
+            batchable = jnp.logical_and(
+                batchable,
+                jnp.logical_or(ks[t_off] == 0, firsts[t_off] == f_ref),
+            )
 
-            def get_dma(slot, c, first=first):
-                off = pl.multiple_of((first + c) * chunk, chunk)
+        @pl.when(batchable)
+        def _():
+            first = f_ref
+            hit = scal[0] == first
+            slot = jnp.where(hit, scal[1], 0)
+
+            def dma(slot=slot, first=first):
+                off = pl.multiple_of(first * chunk, chunk)
                 return pltpu.make_async_copy(
                     packed_hbm.at[:, pl.ds(off, chunk)],
                     buf.at[slot],
                     sem.at[slot],
                 )
 
-            @pl.when(jnp.logical_and(k > 0, jnp.logical_not(hit)))
+            @pl.when(jnp.logical_not(hit))
             def _():
-                get_dma(base, 0).start()
-
-            ones = jnp.ones((PX, 1), jnp.float32)
-            acc0 = jnp.zeros((PX, 8), jnp.float32)
-
-            # fast path: at geometry scale most tiles fit one window —
-            # no prefetch, no while-loop state machine, no drain
-            @pl.when(k == 1)
-            def _(px=px, py=py, tile_f=tile_f, get_dma=get_dma, hit=hit,
-                  base=base, first=first):
-                @pl.when(jnp.logical_not(hit))
-                def _():
-                    get_dma(base, 0).wait()
-                t_un, t_fr, acc, s_total = _fwd_window(
-                    buf[base], px, py, tile_f, u_prefix, ones, acc0, chunk
+                dma().start()
+                dma().wait()
+            px, py, tile_f = _pixel_coords_batch(
+                i0, tiles_x, tiles_per_step
+            )
+            bpx = tiles_per_step * PX
+            ones_b = jnp.ones((bpx, 1), jnp.float32)
+            acc0_b = jnp.zeros((bpx, 8), jnp.float32)
+            t_un, t_fr, acc, s_total = _fwd_window(
+                buf[slot], px, py, tile_f, u_prefix, ones_b, acc0_b, chunk
+            )
+            # per-tile window count residual: 1 for tiles with entries
+            row = jax.lax.broadcasted_iota(jnp.int32, (bpx, 1), 0)
+            t_of_row = row // PX
+            c_end_col = jnp.zeros((bpx, 1), jnp.float32)
+            for t_off in range(tiles_per_step):
+                c_end_col = jnp.where(
+                    jnp.logical_and(t_of_row == t_off, ks[t_off] > 0),
+                    1.0, c_end_col,
                 )
-                out = jnp.concatenate(
-                    [acc[:, 0:4], t_fr, ones, s_total,
-                     jnp.zeros((PX, 1), jnp.float32)],
-                    axis=1,
-                )
-                out_ref[t_off] = out.T
-                scal[0] = first
-                scal[1] = base
+            out = jnp.concatenate(
+                [acc[:, 0:4], t_fr, c_end_col, s_total,
+                 jnp.zeros((bpx, 1), jnp.float32)],
+                axis=1,
+            )  # (tps*PX, 8)
+            out_ref[...] = out.reshape(
+                tiles_per_step, PX, 8
+            ).transpose(0, 2, 1)
+            scal[0] = first
+            scal[1] = slot
 
-            @pl.when(k != 1)
-            def _(k=k, px=px, py=py, tile_f=tile_f, get_dma=get_dma,
-                  hit=hit, base=base, first=first):
-                def cond(state):
-                    c, t_un, t_fr, acc, log_t = state
-                    return jnp.logical_and(
-                        c < k, jnp.max(t_un) >= TRANSMITTANCE_MIN
-                    )
-
-                def body(state):
-                    c, t_un, t_fr, acc, log_t = state
-                    slot = jax.lax.rem(c + base, 2)
-
-                    @pl.when(c + 1 < k)
-                    def _():
-                        get_dma(1 - slot, c + 1).start()
-
-                    # cache hit: window 0's DMA was waited by a previous
-                    # tile
-                    @pl.when(jnp.logical_or(c > 0, jnp.logical_not(hit)))
-                    def _():
-                        get_dma(slot, c).wait()
-                    t_un, w_fr, acc, s_total = _fwd_window(
-                        buf[slot], px, py, tile_f, u_prefix, t_un, acc,
-                        chunk,
-                    )
-                    return (
-                        c + 1, t_un, jnp.minimum(t_fr, w_fr), acc,
-                        log_t + s_total,
-                    )
-
-                zeros1 = jnp.zeros((PX, 1), jnp.float32)
-                c_end, t_un, t_fr, acc, log_t = jax.lax.while_loop(
-                    cond, body, (jnp.int32(0), ones, ones, acc0, zeros1)
-                )
-
-                # early termination leaves one prefetched DMA in flight —
-                # drain it (scratch/semaphores persist across grid steps)
-                @pl.when(jnp.logical_and(c_end < k, c_end > 0))
-                def _():
-                    get_dma(jax.lax.rem(c_end + base, 2), c_end).wait()
-
-                # record the last window whose DMA completed (the drained
-                # prefetch, or the last processed window) for the next tile
-                @pl.when(k > 0)
-                def _():
-                    last_c = jnp.where(c_end < k, c_end, k - 1)
-                    scal[0] = first + last_c
-                    scal[1] = jax.lax.rem(last_c + base, 2)
-
-                # rows 5/6 carry backward residuals: the number of windows
-                # the forward actually processed (early termination) and
-                # the LOG-SPACE final transmittance carry (the reverse
-                # sweep reconstructs per-window T by exact log sums)
-                c_end_col = jnp.broadcast_to(
-                    c_end.astype(jnp.float32), (PX, 1)
-                )
-                out = jnp.concatenate(
-                    [acc[:, 0:4], t_fr, c_end_col, log_t,
-                     jnp.zeros((PX, 1), jnp.float32)],
-                    axis=1,
-                )
-                # transpose to (8, PX): a (T, PX, 8) output buffer gets its
-                # minor dim padded to 128 lanes by XLA in the backward
-                # epilogue (16x memory, OOM at 4K); (T, 8, PX) lays clean
-                out_ref[t_off] = out.T
+        @pl.when(jnp.logical_not(batchable))
+        def _():
+            _fwd_general(
+                step, start_ref, count_ref, packed_hbm, out_ref, buf,
+                scal, sem, tiles_x, chunk, tiles_per_step, u_prefix,
+            )
 
     return kernel
+
+
+def _fwd_general(
+    step, start_ref, count_ref, packed_hbm, out_ref, buf, scal, sem,
+    tiles_x, chunk, tiles_per_step, u_prefix,
+):
+    """Per-tile forward path (multi-window tiles, mixed windows)."""
+    for t_off in range(tiles_per_step):  # static unroll
+        i = step * tiles_per_step + t_off
+        first, k = _window_bounds(start_ref[i], count_ref[i], chunk)
+        px, py = _pixel_coords(i, tiles_x)
+        tile_f = i.astype(jnp.float32)
+        # ascending tiles => ascending first; a hit means the previous
+        # tile's last-loaded window IS this tile's first window
+        hit = jnp.logical_and(k > 0, scal[0] == first)
+        base = jnp.where(hit, scal[1], 0)
+
+        def get_dma(slot, c, first=first):
+            off = pl.multiple_of((first + c) * chunk, chunk)
+            return pltpu.make_async_copy(
+                packed_hbm.at[:, pl.ds(off, chunk)],
+                buf.at[slot],
+                sem.at[slot],
+            )
+
+        @pl.when(jnp.logical_and(k > 0, jnp.logical_not(hit)))
+        def _():
+            get_dma(base, 0).start()
+
+        ones = jnp.ones((PX, 1), jnp.float32)
+        acc0 = jnp.zeros((PX, 8), jnp.float32)
+
+        # fast path: at geometry scale most tiles fit one window —
+        # no prefetch, no while-loop state machine, no drain
+        @pl.when(k == 1)
+        def _(px=px, py=py, tile_f=tile_f, get_dma=get_dma, hit=hit,
+              base=base, first=first):
+            @pl.when(jnp.logical_not(hit))
+            def _():
+                get_dma(base, 0).wait()
+            t_un, t_fr, acc, s_total = _fwd_window(
+                buf[base], px, py, tile_f, u_prefix, ones, acc0, chunk
+            )
+            out = jnp.concatenate(
+                [acc[:, 0:4], t_fr, ones, s_total,
+                 jnp.zeros((PX, 1), jnp.float32)],
+                axis=1,
+            )
+            out_ref[t_off] = out.T
+            scal[0] = first
+            scal[1] = base
+
+        @pl.when(k != 1)
+        def _(k=k, px=px, py=py, tile_f=tile_f, get_dma=get_dma,
+              hit=hit, base=base, first=first):
+            def cond(state):
+                c, t_un, t_fr, acc, log_t = state
+                return jnp.logical_and(
+                    c < k, jnp.max(t_un) >= TRANSMITTANCE_MIN
+                )
+
+            def body(state):
+                c, t_un, t_fr, acc, log_t = state
+                slot = jax.lax.rem(c + base, 2)
+
+                @pl.when(c + 1 < k)
+                def _():
+                    get_dma(1 - slot, c + 1).start()
+
+                # cache hit: window 0's DMA was waited by a previous
+                # tile
+                @pl.when(jnp.logical_or(c > 0, jnp.logical_not(hit)))
+                def _():
+                    get_dma(slot, c).wait()
+                t_un, w_fr, acc, s_total = _fwd_window(
+                    buf[slot], px, py, tile_f, u_prefix, t_un, acc,
+                    chunk,
+                )
+                return (
+                    c + 1, t_un, jnp.minimum(t_fr, w_fr), acc,
+                    log_t + s_total,
+                )
+
+            zeros1 = jnp.zeros((PX, 1), jnp.float32)
+            c_end, t_un, t_fr, acc, log_t = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), ones, ones, acc0, zeros1)
+            )
+
+            # early termination leaves one prefetched DMA in flight —
+            # drain it (scratch/semaphores persist across grid steps)
+            @pl.when(jnp.logical_and(c_end < k, c_end > 0))
+            def _():
+                get_dma(jax.lax.rem(c_end + base, 2), c_end).wait()
+
+            # record the last window whose DMA completed (the drained
+            # prefetch, or the last processed window) for the next tile
+            @pl.when(k > 0)
+            def _():
+                last_c = jnp.where(c_end < k, c_end, k - 1)
+                scal[0] = first + last_c
+                scal[1] = jax.lax.rem(last_c + base, 2)
+
+            # rows 5/6 carry backward residuals: the number of windows
+            # the forward actually processed (early termination) and
+            # the LOG-SPACE final transmittance carry (the reverse
+            # sweep reconstructs per-window T by exact log sums)
+            c_end_col = jnp.broadcast_to(
+                c_end.astype(jnp.float32), (PX, 1)
+            )
+            out = jnp.concatenate(
+                [acc[:, 0:4], t_fr, c_end_col, log_t,
+                 jnp.zeros((PX, 1), jnp.float32)],
+                axis=1,
+            )
+            # transpose to (8, PX): a (T, PX, 8) output buffer gets its
+            # minor dim padded to 128 lanes by XLA in the backward
+            # epilogue (16x memory, OOM at 4K); (T, 8, PX) lays clean
+            out_ref[t_off] = out.T
+
 
 
 @functools.partial(
@@ -391,17 +498,112 @@ def _bwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
                 wsem,
             )
 
-        # grid step s handles tile block (nsteps-1-s); within the block
-        # tiles run high-to-low so the global tile order is descending
-        for t_rev in range(tiles_per_step):  # static unroll
-            t_off = tiles_per_step - 1 - t_rev
-            _bwd_one_tile(
-                (nsteps - 1 - step) * tiles_per_step + t_off,
-                start_ref, count_ref, cend_ref, packed_hbm,
-                g_ref[t_off].T, fwd_ref[t_off].T,
-                buf, accbuf, flushbuf, scal, sem, flush_dma,
-                tiles_x, chunk, u_prefix, l_suffix, basis,
+        def acc_window(dout, w_glob):
+            # monotone schedule: same window -> accumulate in VMEM; lower
+            # window -> flush the open one (exactly once per window) and
+            # open this one. Foreign-entry columns of dout are exactly
+            # zero, so accumulation across tiles sharing a window equals
+            # the sum.
+            switch = w_glob != scal[2]
+
+            @pl.when(switch)
+            def _():
+                @pl.when(scal[3] == 1)
+                def _():
+                    flush_dma(scal[4]).wait()  # flushbuf free again
+
+                @pl.when(scal[2] >= 0)
+                def _():
+                    flushbuf[...] = accbuf[...]
+                    flush_dma(scal[2]).start()
+                    scal[4] = scal[2]
+                    scal[3] = 1
+
+                accbuf[...] = dout
+                scal[2] = w_glob
+
+            @pl.when(jnp.logical_not(switch))
+            def _():
+                accbuf[...] = accbuf[...] + dout
+
+        # batched fast path (mirror of the forward's): all tiles of this
+        # block single-window on a shared window -> one batched gradient
+        # computation, one accumulate. Per-entry tile origins inside
+        # _bwd_window_grads make the contraction over all rows exact.
+        i0 = (nsteps - 1 - step) * tiles_per_step
+        firsts = []
+        ks = []
+        for t_off in range(tiles_per_step):
+            f_t, k_t = _window_bounds(
+                start_ref[i0 + t_off], count_ref[i0 + t_off], chunk
             )
+            firsts.append(f_t)
+            ks.append(jnp.minimum(k_t, cend_ref[i0 + t_off]))
+        f_ref = firsts[0]
+        any_entries = ks[0] > 0
+        for t_off in range(1, tiles_per_step):
+            f_ref = jnp.where(any_entries, f_ref, firsts[t_off])
+            any_entries = jnp.logical_or(any_entries, ks[t_off] > 0)
+        batchable = jnp.logical_and(
+            jnp.bool_(tiles_per_step > 1), any_entries
+        )
+        for t_off in range(tiles_per_step):
+            batchable = jnp.logical_and(batchable, ks[t_off] <= 1)
+            batchable = jnp.logical_and(
+                batchable,
+                jnp.logical_or(ks[t_off] == 0, firsts[t_off] == f_ref),
+            )
+
+        @pl.when(batchable)
+        def _():
+            hit = scal[0] == f_ref
+            slot = jnp.where(hit, scal[1], 0)
+
+            def dma(slot=slot):
+                off = pl.multiple_of(f_ref * chunk, chunk)
+                return pltpu.make_async_copy(
+                    packed_hbm.at[:, pl.ds(off, chunk)],
+                    buf.at[slot],
+                    sem.at[slot],
+                )
+
+            @pl.when(jnp.logical_not(hit))
+            def _():
+                dma().start()
+                dma().wait()
+            px, py, tile_f = _pixel_coords_batch(
+                i0, tiles_x, tiles_per_step
+            )
+            bpx = tiles_per_step * PX
+            g_all = g_ref[...]  # (tps, 8, PX)
+            fwd_all = fwd_ref[...]
+            g8_b = g_all.transpose(0, 2, 1).reshape(bpx, 8)
+            fwd8_b = fwd_all.transpose(0, 2, 1).reshape(bpx, 8)
+            gt_final_b = g8_b[:, 4:5] * fwd8_b[:, 4:5]
+            log_seed_b = fwd8_b[:, 6:7]
+            basis_b = jnp.concatenate([basis] * tiles_per_step, axis=0)
+            dout, _, _ = _bwd_window_grads(
+                buf[slot], px, py, tile_f, tiles_x, g8_b, gt_final_b,
+                log_seed_b, jnp.zeros((bpx, 1), jnp.float32),
+                u_prefix, l_suffix, basis_b, chunk,
+            )
+            acc_window(dout, f_ref)
+            scal[0] = f_ref
+            scal[1] = slot
+
+        @pl.when(jnp.logical_not(batchable))
+        def _():
+            # grid step s handles tile block (nsteps-1-s); within the
+            # block tiles run high-to-low: global tile order descending
+            for t_rev in range(tiles_per_step):  # static unroll
+                t_off = tiles_per_step - 1 - t_rev
+                _bwd_one_tile(
+                    i0 + t_off,
+                    start_ref, count_ref, cend_ref, packed_hbm,
+                    g_ref[t_off].T, fwd_ref[t_off].T,
+                    buf, accbuf, flushbuf, scal, sem, flush_dma,
+                    acc_window, tiles_x, chunk, u_prefix, l_suffix, basis,
+                )
 
         # last grid step: flush the still-open window
         @pl.when(step == nsteps - 1)
@@ -420,7 +622,7 @@ def _bwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
 
 
 def _bwd_window_grads(
-    data, px, py, tile_f, ox, oy, g8, gt_final, log_t_out, suf,
+    data, px, py, tile_f, tiles_x, g8, gt_final, log_t_out, suf,
     u_prefix, l_suffix, basis, chunk,
 ):
     """Gradients of one reverse-sweep window.
@@ -481,6 +683,13 @@ def _bwd_window_grads(
     mxx = m[3:4, :]
     mxy = m[4:5, :]
     myy = m[5:6, :]
+    # PER-ENTRY tile origins from the tile-id field: entries whose
+    # owning tile differs from any batched row have dpow == 0, so every
+    # reduction below contracts over all rows safely (this is what lets
+    # one call serve a whole batch of tiles sharing the window)
+    tid = data[6:7, :]
+    ox = jnp.mod(tid, float(tiles_x)) * TILE
+    oy = jnp.floor(tid / float(tiles_x)) * TILE
     xl = data[0:1, :] - ox
     yl = data[1:2, :] - oy
     gx = xl * m0 - mx  # Σ dpow·dx
@@ -511,8 +720,8 @@ def _bwd_window_grads(
 
 def _bwd_one_tile(
     i, start_ref, count_ref, cend_ref, packed_hbm, g8, fwd8,
-    buf, accbuf, flushbuf, scal, sem, flush_dma, tiles_x, chunk,
-    u_prefix, l_suffix, basis,
+    buf, accbuf, flushbuf, scal, sem, flush_dma, acc_window, tiles_x,
+    chunk, u_prefix, l_suffix, basis,
 ):
     first, k = _window_bounds(start_ref[i], count_ref[i], chunk)
     # windows past the forward's early-termination point carry zero
@@ -520,9 +729,6 @@ def _bwd_one_tile(
     k = jnp.minimum(k, cend_ref[i])
     px, py = _pixel_coords(i, tiles_x)
     tile_f = i.astype(jnp.float32)
-    # tile-origin for the local-coordinate moment expansion
-    ox = ((i % tiles_x) * TILE).astype(jnp.float32)
-    oy = ((i // tiles_x) * TILE).astype(jnp.float32)
     # g8 (PX, 8): cols 0-3 feature grads, col 4 T_final grad
     g_final = g8[:, 4:5]  # (PX, 1)
     gt_final = g_final * fwd8[:, 4:5]  # g_T * frozen T_final
@@ -541,33 +747,6 @@ def _bwd_one_tile(
     hit = jnp.logical_and(k > 0, scal[0] == first + k - 1)
     base = jnp.where(hit, scal[1], 0)
 
-    def acc_window(dout, w_glob):
-        # monotone schedule: same window -> accumulate in VMEM; lower
-        # window -> flush the open one (exactly once per window) and open
-        # this one. Foreign-entry columns of dout are exactly zero, so
-        # accumulation across the tiles sharing a window equals the sum.
-        switch = w_glob != scal[2]
-
-        @pl.when(switch)
-        def _():
-            @pl.when(scal[3] == 1)
-            def _():
-                flush_dma(scal[4]).wait()  # flushbuf free again
-
-            @pl.when(scal[2] >= 0)
-            def _():
-                flushbuf[...] = accbuf[...]
-                flush_dma(scal[2]).start()
-                scal[4] = scal[2]
-                scal[3] = 1
-
-            accbuf[...] = dout
-            scal[2] = w_glob
-
-        @pl.when(jnp.logical_not(switch))
-        def _():
-            accbuf[...] = accbuf[...] + dout
-
     # ---- reverse sweep; grads accumulate in the shared window register --
     @pl.when(jnp.logical_and(k > 0, jnp.logical_not(hit)))
     def _():
@@ -582,7 +761,7 @@ def _bwd_one_tile(
         def _():
             get_dma(base, 0).wait()
         dout, _, _ = _bwd_window_grads(
-            buf[base], px, py, tile_f, ox, oy, g8, gt_final, log_seed,
+            buf[base], px, py, tile_f, tiles_x, g8, gt_final, log_seed,
             suf0, u_prefix, l_suffix, basis, chunk,
         )
         acc_window(dout, first)
@@ -604,7 +783,7 @@ def _bwd_one_tile(
             def _():
                 get_dma(slot, c).wait()
             dout, suf, log_t_in = _bwd_window_grads(
-                buf[slot], px, py, tile_f, ox, oy, g8, gt_final, log_t_out,
+                buf[slot], px, py, tile_f, tiles_x, g8, gt_final, log_t_out,
                 suf, u_prefix, l_suffix, basis, chunk,
             )
             acc_window(dout, first + c)
