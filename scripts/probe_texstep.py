@@ -54,20 +54,26 @@ def main(n=300_000, w=3840, h=2160):
     vid = jnp.asarray(0, jnp.int32)
 
     step = make_texture_step(
-        lambda rv, c: render_gaussians_pallas(rv, c, max_span=2, chunk=128)
+        lambda rv, c, b: render_gaussians_pallas(
+            rv, c, max_span=2, chunk=128, binning=b
+        )
     )
     t0 = time.perf_counter()
-    state, m = step(state, means, gt, cams, vid, anchor, (), lr, weights)
+    state, m = step(
+        state, means, gt, cams, vid, anchor, (), lr, weights,
+        with_metrics=False,
+    )
     jax.block_until_ready(m["loss_total"])
     print(f"compile+first {time.perf_counter() - t0:.1f}s "
           f"loss {float(m['loss_total']):.4f}", flush=True)
 
-    def run(iters):
+    def run(iters, binning=None):
         nonlocal state
         t0 = time.perf_counter()
         for _ in range(iters):
             state, m = step(
-                state, means, gt, cams, vid, anchor, (), lr, weights
+                state, means, gt, cams, vid, anchor, (), lr, weights,
+                binning, with_metrics=False,
             )
         jax.block_until_ready(m["loss_total"])
         return time.perf_counter() - t0
@@ -75,8 +81,58 @@ def main(n=300_000, w=3840, h=2160):
     t1 = run(4)
     t2 = run(16)
     dt = (t2 - t1) / 12 * 1e3
-    print(f"texture step marginal {dt:.1f} ms  "
+    print(f"texture step (re-bin each iter)   {dt:7.1f} ms  "
           f"({dt * 301 / 1e3:.1f} s / 301-iter frame)", flush=True)
+
+    # frozen-binning path
+    from topo4d_tpu.rasterizer.pallas import binning_for
+    from topo4d_tpu.texture.dense import dense_rendervars
+
+    binning = jax.block_until_ready(
+        binning_for(dense_rendervars(state.params, means), cam, max_span=2)
+    )
+    state, m = step(
+        state, means, gt, cams, vid, anchor, (), lr, weights, binning,
+        with_metrics=False,
+    )
+    jax.block_until_ready(m["loss_total"])
+    t1 = run(4, binning)
+    t2 = run(16, binning)
+    dt_b = (t2 - t1) / 12 * 1e3
+    print(f"texture step (frozen binning)     {dt_b:7.1f} ms  "
+          f"({dt_b * 301 / 1e3:.1f} s / 301-iter frame)", flush=True)
+
+    # scanned segment (the production path): marginal per iteration
+    from topo4d_tpu.texture.dense import make_texture_multi_step
+
+    multi = make_texture_multi_step(
+        lambda rv, c, b: render_gaussians_pallas(
+            rv, c, max_span=2, chunk=128, binning=b
+        )
+    )
+    images = gt[None]
+    binnings = jax.tree_util.tree_map(lambda x: x[None], binning)
+
+    def run_scan(iters):
+        nonlocal state
+        vids = jnp.zeros((iters,), jnp.int32)
+        state, losses = multi(
+            state, means, images, cams, vids, anchor, (), lr, weights,
+            binnings,
+        )
+        t0 = time.perf_counter()
+        state, losses = multi(
+            state, means, images, cams, vids, anchor, (), lr, weights,
+            binnings,
+        )
+        jax.block_until_ready(losses)
+        return time.perf_counter() - t0
+
+    s1 = run_scan(4)
+    s2 = run_scan(16)
+    dt_s = (s2 - s1) / 12 * 1e3
+    print(f"texture step (scan+frozen bin)    {dt_s:7.1f} ms  "
+          f"({dt_s * 301 / 1e3:.1f} s / 301-iter frame)", flush=True)
 
 
 if __name__ == "__main__":
