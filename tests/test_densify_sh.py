@@ -85,12 +85,12 @@ def test_densify_clone_and_prune():
     # alive count: 8 - 1 prune + 1 clone
     assert int(stats["alive"]) == 8
     alive = np.asarray(new_state.alive)
-    assert not alive[0]
-    # the clone landed in a free slot with gaussian 1's attributes
-    clone_slots = np.nonzero(alive[n:])[0] + n
-    assert clone_slots.size == 1
+    # the clone reuses the first free slot — the just-pruned slot 0
+    # (freed-this-pass slots are allocatable)
+    assert alive[0]
+    assert not alive[n:].any()
     np.testing.assert_allclose(
-        np.asarray(new_params["means3D"])[clone_slots[0]],
+        np.asarray(new_params["means3D"])[0],
         np.asarray(params["means3D"])[1],
         atol=1e-6,
     )
@@ -108,16 +108,20 @@ def test_densify_split_replaces_parent():
         params, state, jax.random.PRNGKey(1), scene_radius=100.0
     )
     assert int(stats["splits"]) == 1
-    # parent dead, 2 children alive: 4 - 1 + 2 = 5
+    # parent replaced by 2 children: 4 - 1 + 2 = 5 alive (the parent
+    # GAUSSIAN is gone; its freed SLOT may host a child)
     assert int(stats["alive"]) == 5
-    assert not bool(new_state.alive[2])
-    # children have downscaled sizes
-    children = np.nonzero(np.asarray(new_state.alive)[n:])[0] + n
+    alive = np.asarray(new_state.alive)
+    scales = np.asarray(new_params["log_scales"])
+    # children identified by the downscaled size, wherever they landed
+    children = np.nonzero(
+        alive & np.isclose(
+            scales[:, 0], np.log(5.0) + np.log(1.0 / 1.6), atol=1e-5
+        )
+    )[0]
     assert children.size == 2
     np.testing.assert_allclose(
-        np.asarray(new_params["log_scales"])[children],
-        np.log(5.0) + np.log(1.0 / 1.6),
-        atol=1e-5,
+        scales[children], np.log(5.0) + np.log(1.0 / 1.6), atol=1e-5
     )
 
 
@@ -138,3 +142,59 @@ def test_reset_opacity():
     out = reset_opacity(params, 0.01)
     op = np.asarray(jax.nn.sigmoid(out["logit_opacities"]))
     assert (op <= 0.0101).all()
+
+
+def test_densify_overflow_count_exact():
+    """Dropped-request count must be exact, not an overcount."""
+    n, cap = 8, 9  # one free slot, 8 clone requests -> 7 dropped
+    params = pad_params(small_params(n), cap)
+    state = densify_init(n, cap)
+    grads = jnp.ones((cap, 2))
+    state = accumulate_stats(state, grads, jnp.arange(cap) < n)
+    new_params, new_state, stats = densify_step(
+        params, state, jax.random.PRNGKey(0), scene_radius=100.0
+    )
+    assert int(stats["clones"]) == 8
+    assert int(stats["overflow"]) == 7
+    assert int(stats["alive"]) == 9
+
+
+def test_densify_reused_slot_gets_zero_moments():
+    """A clone placed into a pruned slot must not inherit Adam moments."""
+    from topo4d_tpu.opt.adam import adam_init
+
+    n, cap = 4, 4  # full capacity: the clone must reuse the pruned slot
+    params = pad_params(small_params(n), cap)
+    params["logit_opacities"] = params["logit_opacities"].at[0].set(-10.0)
+    opt = adam_init({k: params[k] for k in params})
+    # poison slot 0's moments as if a dead gaussian trained there
+    opt = opt._replace(
+        mu={k: v.at[0].set(99.0) for k, v in opt.mu.items()},
+        nu={k: v.at[0].set(99.0) for k, v in opt.nu.items()},
+    )
+    state = densify_init(n, cap)
+    grads = jnp.zeros((cap, 2)).at[1].set(1.0)  # gaussian 1 hot -> clone
+    state = accumulate_stats(state, grads, jnp.arange(cap) < n)
+    new_params, new_opt, new_state, stats = densify_step(
+        params, state, jax.random.PRNGKey(0), scene_radius=100.0, opt=opt
+    )
+    assert int(stats["clones"]) == 1 and int(stats["prunes"]) == 1
+    # the clone landed in slot 0 (the only free one after the prune)...
+    assert bool(new_state.alive[0])
+    # ...with freshly zeroed moments
+    for k in ("means3D", "rgb_colors"):
+        np.testing.assert_allclose(np.asarray(new_opt.mu[k])[0], 0.0)
+        np.testing.assert_allclose(np.asarray(new_opt.nu[k])[0], 0.0)
+        # untouched rows keep their moments
+        np.testing.assert_allclose(np.asarray(new_opt.mu[k])[2], 0.0)
+
+
+def test_accumulate_stats_tracks_max_radius():
+    n, cap = 4, 8
+    state = densify_init(n, cap)
+    grads = jnp.zeros((cap, 2))
+    radii = jnp.arange(cap, dtype=jnp.int32) * 3
+    state = accumulate_stats(state, grads, jnp.arange(cap) < n, radii)
+    np.testing.assert_allclose(np.asarray(state.max_radius)[:4],
+                               [0, 3, 6, 9])
+    np.testing.assert_allclose(np.asarray(state.max_radius)[4:], 0.0)

@@ -456,3 +456,23 @@ def test_ssim_banded_gradient_matches_dense():
     finally:
         im._DENSE_MAX = dense_max
     np.testing.assert_allclose(ga, gb, rtol=1e-4, atol=1e-7)
+
+
+def test_umbrella_flatten_isolated_vertex_no_nan():
+    """A zero-neighbor vertex must contribute 0, not 0/0 = NaN."""
+    verts, tris = quad_grid_tris(4, 4)
+    # append an isolated vertex referenced by no face
+    verts = np.vstack([verts, [[9.0, 9.0, 9.0]]]).astype(np.float32)
+    n = verts.shape[0]
+    nbrs = [[] for _ in range(n)]
+    for t in tris:
+        for a in t:
+            for b in t:
+                if a != b and b not in nbrs[a]:
+                    nbrs[a].append(int(b))
+    assert len(nbrs[-1]) == 0
+    st = build_umbrella_flatten(nbrs, n, region=list(range(n)))
+    val = float(umbrella_flatten_loss(jnp.asarray(verts), st))
+    assert np.isfinite(val)
+    g = jax.grad(lambda v: umbrella_flatten_loss(v, st))(jnp.asarray(verts))
+    assert np.isfinite(np.asarray(g)).all()

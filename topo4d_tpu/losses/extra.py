@@ -70,7 +70,7 @@ def build_uniform_laplacian(
     Stores rest-pose delta coordinates for delta preservation.
     """
     faces = np.asarray(faces, np.int64)
-    nv = int(faces.max()) + 1
+    nv = int(np.asarray(vertices).shape[0])  # incl. face-less tail verts
     adj = [set() for _ in range(nv)]
     for f in faces:
         for a in range(3):

@@ -59,13 +59,10 @@ def build_dihedral_quadruples(faces: np.ndarray) -> DihedralQuadruples:
     cand_keys = cand[:, 0] * nmax + cand[:, 1]
     pair_keys = f_pairs[:, 0] * nmax + f_pairs[:, 1]
 
-    order = np.argsort(pair_keys, kind="stable")
+    # one lexsort: primary pair key, secondary ascending face id
+    order = np.lexsort((face_ids, pair_keys))
     pair_keys_s = pair_keys[order]
     face_ids_s = face_ids[order]
-    # Secondary sort by face id within equal keys (ascending face-id order).
-    order2 = np.lexsort((face_ids_s, pair_keys_s))
-    pair_keys_s = pair_keys_s[order2]
-    face_ids_s = face_ids_s[order2]
 
     left = np.searchsorted(pair_keys_s, cand_keys, side="left")
     right = np.searchsorted(pair_keys_s, cand_keys, side="right")
@@ -363,7 +360,8 @@ def fused_umbrella_from_nb(
     num = jnp.asarray(fused.neighbor_num)  # (N,)
     sq = jnp.zeros_like(num)
     for c in range(3):
-        ave = jnp.sum(nb[c] * msk, axis=0) / num
+        # isolated vertices (num==0) must yield 0, not 0/0=NaN
+        ave = jnp.sum(nb[c] * msk, axis=0) / jnp.maximum(num, 1.0)
         d = ave - xt[c]
         sq = sq + d * d
     w = jnp.stack([weights[k] for k in fused.set_names])  # (S,)
@@ -416,6 +414,8 @@ def umbrella_flatten_loss(
     """MSE(mean of one-ring, vertex) over the region (FlattenLoss_v2.forward)."""
     nbr = vertices[jnp.asarray(state.neighbor_indices)]  # (N, K, 3)
     nbr = nbr * jnp.asarray(state.neighbor_mask)[..., None]
-    ave = jnp.sum(nbr, axis=1) / jnp.asarray(state.neighbor_num)[:, None]
+    ave = jnp.sum(nbr, axis=1) / jnp.maximum(
+        jnp.asarray(state.neighbor_num)[:, None], 1.0
+    )
     reg = jnp.asarray(state.region)
     return jnp.mean((ave[reg] - vertices[reg]) ** 2)

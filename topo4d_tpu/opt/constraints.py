@@ -84,7 +84,12 @@ def apply_constraints(
     out = dict(params)
     for c in constraints:
         if isinstance(c, DenseConstraint):
-            out[c.param] = jnp.where(c.mask, c.value, out[c.param])
+            mask = c.mask
+            # align mask rank to the param (an (N,1) mask against an
+            # (N,) param would broadcast to (N,N))
+            while mask.ndim > out[c.param].ndim:
+                mask = mask[..., 0]
+            out[c.param] = jnp.where(mask, c.value, out[c.param])
         else:
             out[c.param] = out[c.param].at[jnp.asarray(c.idx)].set(c.value)
     return out

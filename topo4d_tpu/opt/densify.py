@@ -55,14 +55,26 @@ def pad_params(params: Dict[str, jnp.ndarray], capacity: int):
 
 
 def accumulate_stats(
-    state: DensifyState, means2d_grad: jnp.ndarray, seen: jnp.ndarray
+    state: DensifyState,
+    means2d_grad: jnp.ndarray,
+    seen: jnp.ndarray,
+    radii=None,
 ) -> DensifyState:
-    """Accumulate screen-space gradient norms (external.py:119-123)."""
+    """Accumulate screen-space gradient norms + max 2D radius
+    (external.py:119-123; the radius stat mirrors the reference's
+    variables['max_2D_radius'] bookkeeping, train.py:373-376)."""
     norm = jnp.linalg.norm(means2d_grad[:, :2], axis=-1)
     upd = seen & state.alive
+    max_radius = state.max_radius
+    if radii is not None:
+        max_radius = jnp.where(
+            upd, jnp.maximum(max_radius, radii.astype(jnp.float32)),
+            max_radius,
+        )
     return state._replace(
         grad_accum=jnp.where(upd, state.grad_accum + norm, state.grad_accum),
         denom=jnp.where(upd, state.denom + 1.0, state.denom),
+        max_radius=max_radius,
     )
 
 
@@ -74,12 +86,16 @@ def densify_step(
     grad_thresh: float = 2e-4,
     prune_opacity: float = 0.005,
     split_n: int = 2,
-) -> Tuple[Dict[str, jnp.ndarray], DensifyState, Dict[str, jnp.ndarray]]:
+    opt=None,  # AdamState: children get ZERO moments (cat_params_to_optimizer)
+):
     """One clone/split/prune pass inside the fixed capacity.
 
-    Returns (params, state, stats) where stats counts clones/splits/prunes
-    and ``overflow`` (requests dropped because capacity ran out — reported,
-    never silent).
+    Returns (params, state, stats) — or (params, opt, state, stats) when
+    an AdamState is passed, with the moments of every (re)written slot
+    zeroed like the reference's optimizer-state surgery
+    (external.py:126-181: new points get zero exp_avg/exp_avg_sq).
+    stats counts clones/splits/prunes and ``overflow`` (requests dropped
+    because capacity ran out — reported, never silent).
     """
     cap = state.alive.shape[0]
     grads = jnp.where(state.denom > 0, state.grad_accum / state.denom, 0.0)
@@ -97,9 +113,12 @@ def densify_step(
     )
 
     # requests: each clone wants 1 new slot, each split wants split_n
-    # (parent is pruned after splitting, reference external.py:216-217)
+    # (parent is pruned after splitting, reference external.py:216-217).
+    # Slots freed THIS pass are allocatable: children read their sources
+    # from the original arrays, so a write into a pruned/split slot can
+    # never corrupt a pending read.
     want = to_clone.astype(jnp.int32) + to_split.astype(jnp.int32) * split_n
-    free = ~state.alive
+    free = ~state.alive | to_prune | to_split
     n_free = jnp.sum(free)
 
     # allocate: k-th request goes to the k-th free slot
@@ -110,12 +129,14 @@ def densify_step(
     new_alive = state.alive & ~to_prune & ~to_split
 
     stats_overflow = jnp.sum(
-        jnp.maximum(req_rank + want - n_free, 0) * (want > 0)
+        jnp.minimum(want, jnp.maximum(req_rank + want - n_free, 0))
     )
+
+    new_opt = opt
 
     def place(child: int, src_mask, jitter):
         """Scatter copies of masked sources into free slots."""
-        nonlocal new_params, new_alive
+        nonlocal new_params, new_alive, new_opt
         offs = req_rank + child
         ok = src_mask & (offs < n_free)
         # out-of-range destination (== cap) drops the write entirely
@@ -123,6 +144,18 @@ def densify_step(
         for k in PARAM_KEYS:
             val = params[k] + (jitter[k] if k in jitter else 0.0)
             new_params[k] = new_params[k].at[dst].set(val, mode="drop")
+            if new_opt is not None:
+                # a reused slot must not inherit the dead occupant's
+                # moments (reference zero-pads optimizer state)
+                zeros = jnp.zeros_like(val)
+                # per-leaf step stays (torch keeps the group step when
+                # concatenating new points)
+                new_opt = new_opt._replace(
+                    mu={**new_opt.mu,
+                        k: new_opt.mu[k].at[dst].set(zeros, mode="drop")},
+                    nu={**new_opt.nu,
+                        k: new_opt.nu[k].at[dst].set(zeros, mode="drop")},
+                )
         new_alive = new_alive.at[dst].set(True, mode="drop")
 
     # clones: exact copies (external.py:191-194)
@@ -157,6 +190,8 @@ def densify_step(
         denom=jnp.zeros(cap),
         max_radius=jnp.zeros(cap),
     )
+    if opt is not None:
+        return new_params, new_opt, new_state, stats
     return new_params, new_state, stats
 
 

@@ -70,24 +70,28 @@ class TrainState(NamedTuple):
     max_2d_radius: jnp.ndarray  # (N,) float — densification statistic
 
 
-def _build_step_impl(
+def build_topo_losses(
     quadruples: Dict[str, DihedralQuadruples],
     umbrellas: Dict[str, UmbrellaFlatten],
-    render_fn: Callable[[GaussianRenderVars, Camera], object],
     ring_indices=None,  # (N, K) np.int32 — priors.neighbor_indices pre-transpose
 ) -> Callable:
-    """Build the (unjitted) step body. ``render_fn(rv, cam) -> RenderOutput``.
+    """The shared topological/temporal loss assembly (train.py:330-368).
+
+    ONE implementation consumed by both the single-view step and the
+    batched all-views step (parallel.batched) — they differ only in the
+    photometric term. Returns ``topo(rv, priors, weights, phase) ->
+    (losses, new_cos, pre_weighted)`` where ``pre_weighted`` is already
+    weight-scaled (the fused flatten/umbrella terms).
 
     ``quadruples``/``umbrellas`` hold the host-precomputed flatten index
     sets (missing keys simply drop that loss, like the reference's
     ``is not None`` guards at train.py:349-357).
 
-    ``ring_indices`` is the one-ring table the caller will pass (transposed)
+    ``ring_indices`` is the one-ring table the caller passes (transposed)
     as ``priors.neighbor_indices``. When it matches the umbrella sets'
     table, the umbrella loss rides the temporal losses' neighbor gather
     instead of issuing its own (saves a gather + backward scatter).
     """
-
     fused_quads = build_fused_flatten(
         quadruples, HARD_FLATTEN_KEYS, SOFT_FLATTEN_KEYS
     )
@@ -108,27 +112,10 @@ def _build_step_impl(
             np.asarray(ring_indices).T.reshape(-1), ring_indices.shape[0]
         )
 
-    def loss_fn(
-        params: Dict[str, jnp.ndarray],
-        gt: jnp.ndarray,
-        cam: Camera,
-        view_id: jnp.ndarray,
-        priors: GeometryPriors,
-        weights: Dict[str, jnp.ndarray],
-        phase: str,
-    ):
-        rv = activate_params(params)
-        out = render_fn(rv, cam)
-        im = (
-            jnp.exp(params["cam_m"][view_id])[:, None, None] * out.image
-            + params["cam_c"][view_id][:, None, None]
-        )
-        losses: Dict[str, jnp.ndarray] = {
-            "im": photometric_loss(im, gt)
-        }
+    def topo(rv, priors, weights, phase):
+        losses: Dict[str, jnp.ndarray] = {}
         new_cos = priors.cos_init
         pre_weighted = jnp.zeros(())
-
         if phase == "init":
             min_scale = jnp.min(rv.scales, axis=1)
             losses["scale"] = jnp.sum(min_scale)
@@ -175,7 +162,40 @@ def _build_step_impl(
                 pre_weighted = pre_weighted + fused_umbrella_loss(
                     rv.means3d, fused_umb, weights
                 )
+        return losses, new_cos, pre_weighted
 
+    return topo
+
+
+def _build_step_impl(
+    quadruples: Dict[str, DihedralQuadruples],
+    umbrellas: Dict[str, UmbrellaFlatten],
+    render_fn: Callable[[GaussianRenderVars, Camera], object],
+    ring_indices=None,  # (N, K) np.int32 — priors.neighbor_indices pre-transpose
+) -> Callable:
+    """Build the (unjitted) step body. ``render_fn(rv, cam) -> RenderOutput``.
+
+    See ``build_topo_losses`` for the shared loss assembly.
+    """
+    topo = build_topo_losses(quadruples, umbrellas, ring_indices)
+
+    def loss_fn(
+        params: Dict[str, jnp.ndarray],
+        gt: jnp.ndarray,
+        cam: Camera,
+        view_id: jnp.ndarray,
+        priors: GeometryPriors,
+        weights: Dict[str, jnp.ndarray],
+        phase: str,
+    ):
+        rv = activate_params(params)
+        out = render_fn(rv, cam)
+        im = (
+            jnp.exp(params["cam_m"][view_id])[:, None, None] * out.image
+            + params["cam_c"][view_id][:, None, None]
+        )
+        losses, new_cos, pre_weighted = topo(rv, priors, weights, phase)
+        losses["im"] = photometric_loss(im, gt)
         losses["flatten"] = pre_weighted  # already weight-scaled
         total = (
             sum(weights[k] * v for k, v in losses.items() if k in weights)

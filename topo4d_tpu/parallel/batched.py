@@ -20,25 +20,14 @@ import numpy as np
 
 from topo4d_tpu.core.camera import Camera
 from topo4d_tpu.core.gaussian import activate_params
-from topo4d_tpu.losses.flatten import (
-    DihedralQuadruples,
-    UmbrellaFlatten,
-    build_fused_flatten,
-    build_fused_umbrella,
-    fused_flatten_loss,
-    fused_umbrella_from_nb,
-    fused_umbrella_loss,
-)
+from topo4d_tpu.losses.flatten import DihedralQuadruples, UmbrellaFlatten
 from topo4d_tpu.losses.image import photometric_loss, psnr
-from topo4d_tpu.losses.temporal import rigid_rot_iso_losses
 from topo4d_tpu.opt.adam import adam_update
 from topo4d_tpu.opt.constraints import ScatterConstraint, apply_constraints
 from topo4d_tpu.opt.step import (
     GeometryPriors,
-    HARD_FLATTEN_KEYS,
-    SOFT_FLATTEN_KEYS,
     TrainState,
-    UMBRELLA_KEYS,
+    build_topo_losses,
 )
 
 
@@ -91,71 +80,13 @@ def make_batched_geometry_step(
             losses, psnrs, radii = jax.vmap(one_view)(*args)
         return jnp.mean(losses), jnp.mean(psnrs), jnp.max(radii, axis=0)
 
-    fused_quads = build_fused_flatten(
-        quadruples, HARD_FLATTEN_KEYS, SOFT_FLATTEN_KEYS
-    )
-    fused_umb = build_fused_umbrella(umbrellas, UMBRELLA_KEYS)
-    umb_shares_ring = (
-        fused_umb is not None
-        and ring_indices is not None
-        and np.array_equal(fused_umb.neighbor_indices, ring_indices)
-    )
-    ring_inv = None
-    if ring_indices is not None:
-        from topo4d_tpu.losses.neighbors import build_inverse_incidence
-
-        ring_inv = build_inverse_incidence(
-            np.asarray(ring_indices).T.reshape(-1), ring_indices.shape[0]
-        )
+    topo = build_topo_losses(quadruples, umbrellas, ring_indices)
 
     def loss_fn(params, images, cams, priors, weights, phase):
         rv = activate_params(params)
         im_loss, mean_psnr, max_radii = per_view_losses(params, rv, images, cams)
-        losses: Dict[str, jnp.ndarray] = {"im": im_loss}
-        new_cos = priors.cos_init
-        pre_weighted = jnp.zeros(())
-
-        if phase == "init":
-            min_scale = jnp.min(rv.scales, axis=1)
-            losses["scale"] = jnp.sum(min_scale)
-            max_scale = jnp.max(rv.scales, axis=1)
-            losses["scale_max"] = jnp.sum(
-                jax.nn.relu(max_scale - priors.init_scale * 1.5)
-            )
-            w0 = dict(weights)
-            for k in fused_quads.hard_sets:
-                w0[k] = jnp.zeros(())
-            flat_total, new_cos = fused_flatten_loss(
-                rv.means3d, fused_quads, w0, soft_cos_init=None
-            )
-            pre_weighted = pre_weighted + flat_total
-        else:
-            umb_fn = None
-            if umb_shares_ring:
-                umb_fn = lambda nb, xt: fused_umbrella_from_nb(
-                    nb, xt, fused_umb, weights
-                )
-            temporal = rigid_rot_iso_losses(
-                rv.means3d, rv.rotations, priors.temporal,
-                priors.neighbor_indices, priors.neighbor_dist,
-                priors.rig_w, priors.rot_w, priors.iso_w,
-                extra=umb_fn,
-                ring_inv=ring_inv,
-            )
-            umb_pre = temporal.pop("extra", None)
-            if umb_pre is not None:
-                pre_weighted = pre_weighted + umb_pre
-            losses.update(temporal)
-            flat_total, _ = fused_flatten_loss(
-                rv.means3d, fused_quads, weights,
-                soft_cos_init=priors.cos_init,
-            )
-            pre_weighted = pre_weighted + flat_total
-            if fused_umb is not None and not umb_shares_ring:
-                pre_weighted = pre_weighted + fused_umbrella_loss(
-                    rv.means3d, fused_umb, weights
-                )
-
+        losses, new_cos, pre_weighted = topo(rv, priors, weights, phase)
+        losses["im"] = im_loss
         losses["flatten"] = pre_weighted  # already weight-scaled
         total = (
             sum(weights[k] * v for k, v in losses.items() if k in weights)
