@@ -313,3 +313,54 @@ def test_quaternion_similarity():
     assert float(quaternion_similarity(q, q)) < 1e-3
     q90 = jnp.asarray([np.cos(np.pi / 4), 0, 0, np.sin(np.pi / 4)])
     np.testing.assert_allclose(float(quaternion_similarity(q, q90)), 90.0, atol=1e-3)
+
+
+def test_to_bool_mask_ids_beyond_face_subset():
+    """Region masks can reference vertices absent from the face subset."""
+    from topo4d_tpu.topology.adjacency import faces_fully_inside
+
+    tris = np.array([[0, 1, 2], [1, 2, 3]])
+    # mask includes vertex 10, which no face in this subset touches
+    inside = faces_fully_inside(tris, [0, 1, 2, 10])
+    np.testing.assert_array_equal(inside, [[0, 1, 2]])
+    # empty face array: no crash, empty result
+    empty = faces_fully_inside(np.zeros((0, 3), np.int64), [5])
+    assert empty.shape[0] == 0
+
+
+def test_load_obj_normals_only_faces(tmp_path):
+    """'f v//vn' records keep uv_faces corner-aligned with faces."""
+    from topo4d_tpu.topology.obj_io import load_obj
+
+    p = tmp_path / "m.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+        "vn 0 0 1\n"
+        "f 1//1 2//1 3//1\n"
+    )
+    mesh = load_obj(str(p))
+    assert mesh.faces == [[0, 1, 2]]
+    assert mesh.uv_faces == [[0, 1, 2]]  # vertex-index fallback
+
+
+def test_knn_self_exclusion_by_index():
+    """Near-coincident clusters: the true neighbor survives even when
+    f32 cancellation inflates the computed self-distance."""
+    from topo4d_tpu.topology.knn import knn_sq_dists
+
+    rng = np.random.default_rng(0)
+    base = rng.uniform(-1, 1, (64, 3)).astype(np.float32)
+    pts = base + 100.0  # large offset maximizes cancellation error
+    d = knn_sq_dists(pts, k=1)
+    # reported distances belong to OTHER points: finite (never the inf
+    # self slot) and non-negative
+    assert np.isfinite(d).all() and (d >= 0).all()
+    # values agree with float64 truth up to the f32 cancellation noise of
+    # the expanded form itself (~|p|^2 * eps ~ 1e-2 at this offset); the
+    # old sorted-column-0 heuristic returned the INFLATED SELF distance
+    # on the rows it broke, an error unbounded by this tolerance
+    diff = pts[:, None].astype(np.float64) - pts[None, :].astype(np.float64)
+    dd = (diff**2).sum(-1)
+    np.fill_diagonal(dd, np.inf)
+    want = dd.min(axis=1)
+    np.testing.assert_allclose(d[:, 0], want, atol=2e-2)

@@ -44,7 +44,11 @@ def extract_intrinsics(
     """Sensor intrinsics -> (radial_distortion, K (3,3), image_size (h, w)).
 
     Reference camera.py:45-115, including the rotated-sensor branch that
-    swaps the principal point into the rotated frame.
+    swaps the principal point into the rotated frame. PARITY QUIRK kept
+    deliberately: the reference's branch (camera.py:102-107) applies the
+    +90 (CCW) principal-point mapping for ANY rot != 0 — rot=-1 sensors
+    inherit the same sign-agnostic swap the reference's calibrations were
+    fit against; "fixing" it would break parity with reference datasets.
     """
     f = cx = cy = None
     k1 = k2 = 0.0

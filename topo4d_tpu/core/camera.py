@@ -152,8 +152,10 @@ def project_points(cam: Camera, points: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.n
     the rasterizer (clip-space w division with the CUDA kernel's 1e-7 guard).
     """
     proj = full_projection_matrix(cam)
-    hom = jnp.einsum("...ij,nj->...ni", proj[..., :3, :4], _homogeneous(points))
-    w = jnp.einsum("...j,nj->...n", proj[..., 3, :4], _homogeneous(points))
+    homp = _homogeneous(points)  # one homogeneous build, one 4x4 apply
+    clip = jnp.einsum("...ij,nj->...ni", proj, homp)
+    hom = clip[..., :3]
+    w = clip[..., 3]
     inv_w = 1.0 / (w + 1e-7)
     ndc = hom * inv_w[..., None]
     pix = jnp.stack(
@@ -163,7 +165,11 @@ def project_points(cam: Camera, points: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.n
         ],
         axis=-1,
     )
-    view_z = world_to_view(cam, points)[..., 2]
+    # view z from the shared w2c row instead of a second full transform
+    view_z = (
+        jnp.einsum("...j,nj->...n", cam.w2c[..., 2, :3], points)
+        + cam.w2c[..., None, 2, 3]
+    )
     return pix, view_z
 
 

@@ -158,9 +158,12 @@ def project_gaussians(
     v0 = c00 * b0 + c01 * b1 + c02 * b2
     v1 = c01 * b0 + c11 * b1 + c12 * b2
     v2 = c02 * b0 + c12 * b1 + c22 * b2
+    # low-pass dilation on BOTH diagonal entries (forward.cu computeCov2D:
+    # cov[0][0] += 0.3f; cov[1][1] += 0.3f) — the antialiasing floor must
+    # hold for sub-pixel extent in y as well as x
     cov_a = a0 * u0 + a1 * u1 + a2 * u2 + COV2D_DILATION
     cov_b = a0 * v0 + a1 * v1 + a2 * v2
-    cov_c = b0 * v0 + b1 * v1 + b2 * v2
+    cov_c = b0 * v0 + b1 * v1 + b2 * v2 + COV2D_DILATION
 
     det = cov_a * cov_c - cov_b * cov_b
     visible = visible & (det != 0.0)

@@ -159,6 +159,15 @@ def split_faces_by_mask(
 
 def _to_bool(faces: np.ndarray, mask: Sequence[int]) -> np.ndarray:
     faces = np.asarray(faces)
-    lut = np.zeros(int(faces.max()) + 1, bool)
-    lut[np.asarray(list(mask), np.int64)] = True
+    mask_ids = np.asarray(list(mask), np.int64)
+    if faces.size == 0:
+        return np.zeros(faces.shape, bool)
+    # size by BOTH the face subset and the mask: a masked vertex id can
+    # legitimately exceed every id in this face subset (e.g. a whole-mesh
+    # region mask applied to the quad-only faces)
+    n = int(faces.max()) + 1
+    if mask_ids.size:
+        n = max(n, int(mask_ids.max()) + 1)
+    lut = np.zeros(n, bool)
+    lut[mask_ids] = True
     return lut[faces]

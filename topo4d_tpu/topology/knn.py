@@ -23,23 +23,28 @@ def knn_sq_dists(points: np.ndarray, k: int, block: int = 4096) -> np.ndarray:
     k_eff = min(k, n - 1)
 
     @jax.jit
-    def block_knn(query):
+    def block_knn(query, start):
         # (B, N) squared distances
         d = (
             jnp.sum(query**2, axis=1, keepdims=True)
             - 2.0 * query @ pts.T
             + jnp.sum(pts**2, axis=1)[None, :]
         )
-        # exclude self by masking exact-zero matches of the diagonal later;
-        # use top-k on negated distances
-        neg, _ = jax.lax.top_k(-d, k_eff + 1)
-        return -neg  # ascending: first is self (0)
+        # exclude self BY INDEX: float32 cancellation in the expanded
+        # form can make the computed self-distance exceed a true
+        # neighbor's, so "drop sorted column 0" would drop a real
+        # neighbor (coincident duplicates are other points and stay)
+        rows = jnp.arange(d.shape[0])[:, None] + start
+        cols = jnp.arange(n)[None, :]
+        d = jnp.where(rows == cols, jnp.inf, d)
+        neg, _ = jax.lax.top_k(-d, k_eff)
+        return -neg  # ascending among OTHER points
 
     out = np.empty((n, k_eff), np.float32)
     for start in range(0, n, block):
         q = pts[start : start + block]
-        d = np.asarray(block_knn(q))
-        out[start : start + q.shape[0]] = d[:, 1 : k_eff + 1]
+        d = np.asarray(block_knn(q, start))
+        out[start : start + q.shape[0]] = d
     return np.maximum(out, 0.0)
 
 

@@ -48,13 +48,19 @@ def load_obj(path: str) -> MeshObj:
             elif line.startswith("f "):
                 parts = [p for p in line.strip().split(" ")[1:] if p]
                 faces.append([int(p.split("/")[0]) - 1 for p in parts])
-                uv_faces.append(
-                    [
-                        int(p.split("/")[1]) - 1
-                        for p in parts
-                        if len(p.split("/")) > 1 and p.split("/")[1]
-                    ]
-                )
+                # keep uv_faces corner-aligned with faces: a corner
+                # without a vt index ("v" or "v//vn") falls back to its
+                # vertex index so downstream zips never misalign; a face
+                # with NO vt at all contributes the vertex indices
+                # (valid when the mesh shares vertex/uv numbering)
+                corner_uvs = []
+                for p in parts:
+                    bits = p.split("/")
+                    if len(bits) > 1 and bits[1]:
+                        corner_uvs.append(int(bits[1]) - 1)
+                    else:
+                        corner_uvs.append(int(bits[0]) - 1)
+                uv_faces.append(corner_uvs)
     return MeshObj(
         vertices=np.asarray(vertices, np.float32),
         uvs=np.asarray(uvs, np.float32) if uvs else np.zeros((0, 2), np.float32),
