@@ -369,3 +369,36 @@ def test_report_progress_writes_views(tmp_path):
     assert os.path.exists(
         os.path.join(str(tmp_path), "000001", "visview01_7.png")
     )
+
+
+def test_config_file_not_clobbered_by_default_flags(tmp_path):
+    """Unpassed CLI flags must not overwrite --config values."""
+    from topo4d_tpu.cli import build_argparser, config_from_args
+    from topo4d_tpu.config import Config
+
+    cfg = Config()
+    cfg.schedule.frame_num = 123
+    cfg.texture.gen_tex = True
+    cfg.texture.tex_res = 256
+    cfg.raster.backend = "tiled"
+    cfg.raster.interpret = True
+    cfg.data.use_mask_dense = True
+    path = tmp_path / "cfg.json"
+    path.write_text(cfg.to_json())
+
+    # only -s passed: everything else must come from the config file
+    args = build_argparser().parse_args(
+        ["--config", str(path), "-s", "seqZ"]
+    )
+    out = config_from_args(args)
+    assert out.data.seq == "seqZ"
+    assert out.schedule.frame_num == 123
+    assert out.texture.gen_tex and out.texture.tex_res == 256
+    assert out.raster.backend == "tiled" and out.raster.interpret
+    # explicit flags still win over the config
+    args2 = build_argparser().parse_args(
+        ["--config", str(path), "-fn", "7", "--no_mask"]
+    )
+    out2 = config_from_args(args2)
+    assert out2.schedule.frame_num == 7
+    assert out2.data.use_mask is False and out2.data.use_mask_dense is False

@@ -58,6 +58,15 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="Path to facial_regions.pkl (default: "
                         "$input_dir/assets/facial_regions.pkl, falling back "
                         "to ./assets/facial_regions.pkl).")
+    # flags the user did not pass must NOT clobber --config values: value
+    # flags get a None sentinel (their documented defaults live in
+    # config.py, which matches the reference's argparse table); boolean
+    # store_true flags only apply when given
+    keep = {"help", "config", "gen_tex", "interpret", "no_resume",
+            "no_mask", "regions_pkl"}
+    for action in p._actions:
+        if action.dest not in keep:
+            action.default = None
     return p
 
 
@@ -70,22 +79,40 @@ def config_from_args(args) -> "Config":
     else:
         cfg = Config()
     d, s, tx = cfg.data, cfg.schedule, cfg.texture
-    d.exp, d.seq = args.exp, args.seq
-    d.input_dir, d.output_dir = args.input_dir, args.output_dir
-    d.dense_input_dir = args.dense_input_dir or args.input_dir
-    d.down_ratio, d.dense_down_ratio = args.down_ratio, args.dense_down_ratio
-    d.log_views = list(args.log_views)
-    s.frame_num = args.frame_num
-    s.init_opt_num, s.opt_num = args.init_opt_num, args.opt_num
-    s.dense_opt_num = args.dense_opt_num
-    s.log_freq, s.dense_log_freq = args.log_freq, args.dense_log_freq
-    s.ckp_freq = args.ckp_freq
-    s.views_per_step = args.views_per_step
-    tx.gen_tex, tx.tex_res, tx.density = args.gen_tex, args.tex_res, args.density
-    cfg.raster.backend = args.backend
-    cfg.raster.interpret = args.interpret
+
+    def put(obj, field, val):
+        if val is not None:
+            setattr(obj, field, val)
+
+    put(d, "exp", args.exp)
+    put(d, "seq", args.seq)
+    put(d, "input_dir", args.input_dir)
+    put(d, "output_dir", args.output_dir)
+    put(d, "dense_input_dir", args.dense_input_dir or None)
+    if not d.dense_input_dir:
+        d.dense_input_dir = d.input_dir
+    put(d, "down_ratio", args.down_ratio)
+    put(d, "dense_down_ratio", args.dense_down_ratio)
+    if args.log_views is not None:
+        d.log_views = list(args.log_views)
+    put(s, "frame_num", args.frame_num)
+    put(s, "init_opt_num", args.init_opt_num)
+    put(s, "opt_num", args.opt_num)
+    put(s, "dense_opt_num", args.dense_opt_num)
+    put(s, "log_freq", args.log_freq)
+    put(s, "dense_log_freq", args.dense_log_freq)
+    put(s, "ckp_freq", args.ckp_freq)
+    put(s, "views_per_step", args.views_per_step)
+    if args.gen_tex:
+        tx.gen_tex = True
+    put(tx, "tex_res", args.tex_res)
+    put(tx, "density", args.density)
+    put(cfg.raster, "backend", args.backend)
+    if args.interpret:
+        cfg.raster.interpret = True
     if args.no_mask:
         d.use_mask = False
+        d.use_mask_dense = False  # "even if configured on" covers both
     if args.regions_pkl:
         d.regions_pkl = args.regions_pkl
     else:

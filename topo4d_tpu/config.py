@@ -143,8 +143,8 @@ class ScheduleConfig:
 class DataConfig:
     input_dir: str = ""
     dense_input_dir: str = ""
-    output_dir: str = ""
-    exp: str = "exp_01"
+    output_dir: str = "output"
+    exp: str = "exp_op1"  # reference argparse default (train.py:762)
     seq: str = "seq_01"
     down_ratio: int = 8
     dense_down_ratio: int = 1

@@ -59,8 +59,34 @@ def save_resume(
     output_params: List[Dict[str, np.ndarray]],
     texture_state=None,
 ):
-    """Full mid-sequence resume checkpoint (atomic write)."""
+    """Full mid-sequence resume checkpoint (atomic write).
+
+    The per-frame snapshot HISTORY goes to an append-only side stream
+    (``snapshots.pkl``): re-pickling the whole history every frame would
+    be O(frames^2) IO over an 800-frame sequence. ``resume.pkl`` records
+    how many stream records are valid, so a crash between the append and
+    the resume write leaves at most one orphan record (ignored on load).
+    """
     os.makedirs(out_dir, exist_ok=True)
+    spath = os.path.join(out_dir, "snapshots.pkl")
+    cpath = spath + ".count"
+    n_existing = 0
+    if os.path.exists(cpath) and os.path.exists(spath):
+        try:
+            n_existing = int(open(cpath).read())
+        except ValueError:
+            n_existing = 0
+    if n_existing > len(output_params):
+        n_existing = 0  # stale stream from an older run: rewrite
+    mode = "ab" if n_existing else "wb"
+    with open(spath, mode) as fh:
+        for snap in output_params[n_existing:]:
+            pickle.dump(snap, fh)
+    tmp = cpath + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(len(output_params)))
+    os.replace(tmp, cpath)
+
     payload = {
         "frame": frame,
         "state": jax.tree_util.tree_map(np.asarray, state),
@@ -70,7 +96,7 @@ def save_resume(
             if first_frame_attrs is not None
             else None
         ),
-        "output_params": output_params,
+        "n_snapshots": len(output_params),
         "texture_state": (
             jax.tree_util.tree_map(np.asarray, texture_state)
             if texture_state is not None
@@ -88,7 +114,17 @@ def load_resume(out_dir: str):
     if not os.path.exists(path):
         return None
     with open(path, "rb") as fh:
-        return pickle.load(fh)
+        payload = pickle.load(fh)
+    if "output_params" not in payload:  # stream format
+        n = payload.pop("n_snapshots", 0)
+        snaps = []
+        spath = os.path.join(out_dir, "snapshots.pkl")
+        if n and os.path.exists(spath):
+            with open(spath, "rb") as fh:
+                for _ in range(n):
+                    snaps.append(pickle.load(fh))
+        payload["output_params"] = snaps
+    return payload
 
 
 # --------------------------------------------------------------- orbax

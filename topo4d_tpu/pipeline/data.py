@@ -128,10 +128,27 @@ class DiskSequence:
                 )
             images.append(im.transpose(2, 0, 1))
             if use_mask:
-                mpath = os.path.join(
+                mbase = os.path.join(
                     root, data.seq, "mask", "%06d" % t,
-                    os.path.splitext(fname)[0] + ".png",
+                    os.path.splitext(fname)[0],
                 )
+                # same extension fallback as images; a missing per-view
+                # mask degrades the FRAME to maskless (warn once) instead
+                # of crashing hours into a sequence
+                for ext in (".png", ".jpg"):
+                    if os.path.exists(mbase + ext):
+                        mpath = mbase + ext
+                        break
+                else:
+                    if not getattr(self, "_warned_missing_mask", False):
+                        print(
+                            f"[topo4d] mask {mbase}.png missing - frame "
+                            f"{t} proceeds without masks"
+                        )
+                        self._warned_missing_mask = True
+                    use_mask = False
+                    masks = []
+                    continue
                 mk = np.asarray(Image.open(mpath), np.float32)[:ori_h, :ori_w]
                 mk = rotate_image(mk / 255.0, rt * 90)
                 masks.append(mk.transpose(2, 0, 1))

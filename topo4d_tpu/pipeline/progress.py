@@ -23,10 +23,12 @@ from topo4d_tpu.losses.image import psnr
 @functools.partial(
     jax.jit, static_argnames=("render_fn", "apply_exposure")
 )
-def _log_view(render_fn, params, rv, cam, gt, vid, apply_exposure):
+def _log_view(render_fn, params, cam, gt, vid, apply_exposure):
     """One jitted render+exposure+PSNR per log view (eager ops through a
     tunneled TPU cost seconds each; the trainer passes the same render_fn
-    object every call, so this compiles once)."""
+    object every call, so this compiles once). Param activation happens
+    INSIDE the compiled graph for the same reason."""
+    rv = activate_params(params) if "means3D" in params else None
     out = render_fn(rv, cam)
     im = out.image
     if apply_exposure and "cam_m" in params:
@@ -60,7 +62,6 @@ def report_progress(
     apply_exposure: bool = True,
 ) -> Optional[float]:
     """Render + save the configured views; returns the last view's PSNR."""
-    rv = activate_params(params) if "means3D" in params else None
     last = None
     frame_dir = os.path.join(out_dir, "%06d" % frame)
     os.makedirs(frame_dir, exist_ok=True)
@@ -69,7 +70,7 @@ def report_progress(
             continue
         vid = list(view_names).index(name)
         im, view_psnr = _log_view(
-            render_fn, params, rv, cams[vid], images[vid],
+            render_fn, params, cams[vid], images[vid],
             jnp.asarray(vid, jnp.int32), apply_exposure,
         )
         last = float(view_psnr)

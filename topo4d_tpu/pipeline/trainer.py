@@ -203,6 +203,7 @@ class Trainer:
         self.dense_anchor = None
         self.texture_step = None
         self.texture_multi_step = None
+        self._texture_masked = None
         self.metrics_log: List[Dict] = []
         self.timer = PhaseTimer()
         self._weights_cache: Dict[str, Dict[str, jnp.ndarray]] = {}
@@ -331,7 +332,7 @@ class Trainer:
                     metrics["frame"] = t
                     metrics["iter"] = i
                     self.metrics_log.append(dict(metrics))
-                    if cfg.data.log_views:
+                    if cfg.data.log_views and is_host0():
                         report_progress(
                             self.state.params, self.render_fn, cams,
                             images, frame_data.view_names,
@@ -370,7 +371,7 @@ class Trainer:
                 metrics["frame"] = t
                 metrics["iter"] = i
                 self.metrics_log.append(dict(metrics))
-                if cfg.data.log_views:
+                if cfg.data.log_views and is_host0():
                     report_progress(
                         self.state.params, self.render_fn, cams,
                         images, frame_data.view_names, cfg.data.log_views,
@@ -407,16 +408,24 @@ class Trainer:
         else:
             # update_dense_states (train.py:498-508)
             self.dense_anchor = self.texture_state.params["dense_rgb_colors"]
-        if self.texture_step is None:
+        # masked dense loss (train.py:392-405): parsing images ride along;
+        # a frame without masks falls back to the unmasked objective (the
+        # loader already warned) instead of crashing inside get_mask
+        masks = None
+        if cfg.data.use_mask_dense and frame_data.masks is not None:
+            masks = jnp.asarray(frame_data.masks)
+        use_mask = masks is not None
+        if self.texture_step is None or self._texture_masked != use_mask:
             # (re)built here rather than in the state-init branch so a
             # mid-sequence resume (restored texture_state) still gets them
             dense_render = make_dense_render_fn(cfg)
             self.texture_step = make_texture_step(
-                dense_render, cfg.data.use_mask_dense, cfg.data.cmap_index
+                dense_render, use_mask, cfg.data.cmap_index
             )
             self.texture_multi_step = make_texture_multi_step(
-                dense_render, cfg.data.use_mask_dense, cfg.data.cmap_index
+                dense_render, use_mask, cfg.data.cmap_index
             )
+            self._texture_masked = use_mask
             self._dense_pre = build_dense_pre_constraints(
                 self.texture_state.params, self.statics.regions
             )
@@ -429,10 +438,6 @@ class Trainer:
             jnp.asarray(topo.weights),
         )
         images = jnp.asarray(frame_data.images)
-        # masked dense loss (train.py:392-405): parsing images ride along
-        masks = None
-        if cfg.data.use_mask_dense and frame_data.masks is not None:
-            masks = jnp.asarray(frame_data.masks)
         cams = self.source.cameras_full
         order = view_order(
             images.shape[0], cfg.schedule.dense_opt_num, seed=10_000 + t

@@ -61,9 +61,6 @@ def _barycentric(px, py, x0, y0, x1, y1, x2, y2, eps=0.0):
 @functools.partial(
     jax.jit, static_argnames=("height", "width", "window", "band")
 )
-@functools.partial(
-    jax.jit, static_argnames=("height", "width", "window", "band")
-)
 def _bake_band(
     verts: jnp.ndarray,  # (V, 3) pixel-space uv coords + z
     tris: jnp.ndarray,  # (F, 3) int32
