@@ -203,3 +203,68 @@ def test_multihost_env_parsing(monkeypatch):
         "process_id": 2,
     }
     multihost.initialize_multihost._done = False
+
+
+def test_tile_sharded_render_matches_single_device():
+    """One view's tiles sharded over 8 devices == single-device render."""
+    from jax.sharding import Mesh
+    from topo4d_tpu.rasterizer.pallas import (
+        render_gaussians_pallas,
+        render_gaussians_pallas_tile_sharded,
+    )
+    from topo4d_tpu.testing import make_synthetic_camera, make_synthetic_scene
+
+    params = {
+        k: jnp.asarray(v)
+        for k, v in make_synthetic_scene(n=160, seed=7).items()
+    }
+    cam = make_synthetic_camera(width=128, height=64)  # 8x4 = 32 tiles
+    mesh = Mesh(np.array(jax.devices()[:8]), ("tile",))
+    bg = jnp.asarray([0.2, 0.1, 0.3])
+
+    rv = activate_params(params)
+    single = render_gaussians_pallas(
+        rv, cam, bg=bg, max_span=4, chunk=128, interpret=True
+    )
+    sharded = render_gaussians_pallas_tile_sharded(
+        rv, cam, mesh, bg=bg, max_span=4, chunk=128, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.image), np.asarray(single.image),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.alpha), np.asarray(single.alpha),
+        rtol=1e-5, atol=1e-6,
+    )
+
+    # gradients: the replicated packed array's cotangents psum over ICI
+    rng = np.random.default_rng(3)
+    target = jnp.asarray(
+        rng.uniform(0, 1, (3, 64, 128)).astype(np.float32)
+    )
+
+    def loss(params, renderer):
+        out = renderer(activate_params(params))
+        return jnp.mean(jnp.abs(out.image - target)) + 0.05 * jnp.mean(
+            out.alpha
+        )
+
+    g_single = jax.grad(loss)(
+        params,
+        lambda rv: render_gaussians_pallas(
+            rv, cam, bg=bg, max_span=4, chunk=128, interpret=True
+        ),
+    )
+    g_sharded = jax.grad(loss)(
+        params,
+        lambda rv: render_gaussians_pallas_tile_sharded(
+            rv, cam, mesh, bg=bg, max_span=4, chunk=128, interpret=True
+        ),
+    )
+    for k in g_single:
+        a, b = np.asarray(g_single[k]), np.asarray(g_sharded[k])
+        scale = np.maximum(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(
+            b / scale, a / scale, rtol=1e-4, atol=1e-6, err_msg=k
+        )

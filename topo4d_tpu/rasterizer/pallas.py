@@ -120,6 +120,90 @@ def render_gaussians_pallas(
     )
 
 
+def render_gaussians_pallas_tile_sharded(
+    rv: GaussianRenderVars,
+    cam: Camera,
+    mesh,
+    bg: Optional[jnp.ndarray] = None,
+    max_span: int = 4,
+    chunk: int = 128,
+    interpret: bool = False,
+    axis: str = "tile",
+) -> TiledRenderOutput:
+    """ONE view's render sharded over the TILE axis of a device mesh.
+
+    The sequence-parallel analogue for this workload (SURVEY §5): the
+    pixel/tile axis of a single high-resolution view (the 4K dense
+    texture phase renders one view per iteration, where view-sharding
+    cannot help) splits across chips. Projection/binning run replicated
+    (packed entries are small next to the canvas); each device blends its
+    contiguous tile block via the kernels' tile_offset, and the backward
+    psums the replicated packed array's gradients across the mesh —
+    inserted by shard_map's transpose, riding ICI.
+    """
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+
+    if bg is None:
+        bg = jnp.zeros(3, dtype=jnp.float32)
+    proj = project_gaussians(rv, cam)
+    bins = bin_gaussians_packed(
+        proj, rv.colors, rv.opacities, cam.width, cam.height,
+        max_span=max_span, chunk=chunk,
+    )
+    tiles_x, tiles_y = num_tiles(cam.width, cam.height)
+    t = tiles_x * tiles_y
+    ndev = int(np.prod(mesh.devices.shape))
+    tl = -(-t // ndev)  # tiles per device (padded block)
+    pad = ndev * tl - t
+    starts = jnp.concatenate([bins.tile_start, jnp.zeros(pad, jnp.int32)])
+    counts = jnp.concatenate([bins.tile_count, jnp.zeros(pad, jnp.int32)])
+    offsets = (jnp.arange(ndev, dtype=jnp.int32) * tl)[:, None]  # (ndev, 1)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        # pallas_call inside shard_map carries no vma annotations
+        check_vma=False,
+    )
+    def blend_shard(packed, starts, counts, offs):
+        out_local = pallas_blend(
+            packed, starts[0], counts[0], tiles_x, tiles_y, chunk,
+            interpret, tile_offset=offs[0], num_tiles=tl,
+        )
+        return out_local[None]  # (1, tl, 8, PX) — shard axis leads
+
+    out = blend_shard(
+        bins.packed, starts.reshape(ndev, tl), counts.reshape(ndev, tl),
+        offsets,
+    ).reshape(ndev * tl, 8, PX)[:t]
+
+    rgb_tiles = out[:, 0:3, :] + out[:, 4:5, :] * bg[None, :, None]
+    depth_tiles = out[:, 3:4, :]
+    alpha_tiles = 1.0 - out[:, 4:5, :]
+
+    def untile(x):
+        c = x.shape[1]
+        x = x.reshape(tiles_y, tiles_x, c, TILE, TILE)
+        x = x.transpose(2, 0, 3, 1, 4).reshape(
+            c, tiles_y * TILE, tiles_x * TILE
+        )
+        return x[:, : cam.height, : cam.width]
+
+    return TiledRenderOutput(
+        image=untile(rgb_tiles),
+        radii=proj.radii,
+        depth=untile(depth_tiles),
+        alpha=untile(alpha_tiles),
+        num_cropped=bins.num_cropped,
+        num_overflow=jnp.zeros((), jnp.int32),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("max_span",))
 def binning_for(
     rv: GaussianRenderVars, cam: Camera, max_span: int = 4

@@ -180,7 +180,8 @@ def _fwd_window(data, px, py, tile_f, u_prefix, t_un, acc, chunk):
 
 
 def _fwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
-    def kernel(start_ref, count_ref, packed_hbm, out_ref, buf, scal, sem):
+    def kernel(off_ref, start_ref, count_ref, packed_hbm, out_ref, buf,
+               scal, sem):
         step = pl.program_id(0)
         u_prefix, _ = _tri_masks(chunk)
 
@@ -192,6 +193,9 @@ def _fwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
             scal[0] = -1
             scal[1] = 0
 
+        # tile ids are offset by off_ref[0] when the tile axis is
+        # sharded across devices (tile_start/count are LOCAL slices,
+        # entry offsets stay global)
         # batched fast path: at geometry scale (~23 entries/tile vs the
         # 128-entry window) all tiles of a step often fit ONE shared
         # window — then a single (tps*PX, chunk) matmul serves them all
@@ -241,7 +245,7 @@ def _fwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
                 dma().start()
                 dma().wait()
             px, py, tile_f = _pixel_coords_batch(
-                i0, tiles_x, tiles_per_step
+                i0 + off_ref[0], tiles_x, tiles_per_step
             )
             bpx = tiles_per_step * PX
             ones_b = jnp.ones((bpx, 1), jnp.float32)
@@ -272,23 +276,24 @@ def _fwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
         @pl.when(jnp.logical_not(batchable))
         def _():
             _fwd_general(
-                step, start_ref, count_ref, packed_hbm, out_ref, buf,
-                scal, sem, tiles_x, chunk, tiles_per_step, u_prefix,
+                step, off_ref[0], start_ref, count_ref, packed_hbm,
+                out_ref, buf, scal, sem, tiles_x, chunk, tiles_per_step,
+                u_prefix,
             )
 
     return kernel
 
 
 def _fwd_general(
-    step, start_ref, count_ref, packed_hbm, out_ref, buf, scal, sem,
-    tiles_x, chunk, tiles_per_step, u_prefix,
+    step, tile_off, start_ref, count_ref, packed_hbm, out_ref, buf, scal,
+    sem, tiles_x, chunk, tiles_per_step, u_prefix,
 ):
     """Per-tile forward path (multi-window tiles, mixed windows)."""
     for t_off in range(tiles_per_step):  # static unroll
         i = step * tiles_per_step + t_off
         first, k = _window_bounds(start_ref[i], count_ref[i], chunk)
-        px, py = _pixel_coords(i, tiles_x)
-        tile_f = i.astype(jnp.float32)
+        px, py = _pixel_coords(i + tile_off, tiles_x)
+        tile_f = (i + tile_off).astype(jnp.float32)
         # ascending tiles => ascending first; a hit means the previous
         # tile's last-loaded window IS this tile's first window
         hit = jnp.logical_and(k > 0, scal[0] == first)
@@ -400,13 +405,19 @@ def _fwd_general(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tiles_x", "tiles_y", "chunk", "interpret", "tps"),
+    static_argnames=(
+        "tiles_x", "tiles_y", "chunk", "interpret", "tps", "num_tiles"
+    ),
 )
 def _blend_fwd_impl(
     packed, tile_start, tile_count, tiles_x, tiles_y, chunk, interpret=False,
-    tps=None,
+    tps=None, tile_offset=None, num_tiles=None,
 ):
-    t = tiles_x * tiles_y
+    # sharded tile axis: tile_start/count are a LOCAL slice of num_tiles
+    # tiles starting at global tile id tile_offset
+    t = num_tiles if num_tiles is not None else tiles_x * tiles_y
+    if tile_offset is None:
+        tile_offset = jnp.zeros((1,), jnp.int32)
     tps = tps or _tiles_per_step(t)
     pad_t = -(-t // tps) * tps
     if pad_t != t:
@@ -418,7 +429,7 @@ def _blend_fwd_impl(
             [tile_count, jnp.zeros(pad_t - t, jnp.int32)]
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(pad_t // tps,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -438,7 +449,7 @@ def _blend_fwd_impl(
             dimension_semantics=("arbitrary",),  # window cache is stateful
         ),
         interpret=interpret,
-    )(tile_start, tile_count, packed)
+    )(tile_offset, tile_start, tile_count, packed)
     return out[:t]
 
 
@@ -470,8 +481,9 @@ def _bwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
     """
 
     def kernel(
-        start_ref, count_ref, cend_ref, packed_hbm, g_ref, fwd_ref,
-        zeros_hbm, dpacked_hbm, buf, accbuf, flushbuf, scal, sem, wsem,
+        off_ref, start_ref, count_ref, cend_ref, packed_hbm, g_ref,
+        fwd_ref, zeros_hbm, dpacked_hbm, buf, accbuf, flushbuf, scal,
+        sem, wsem,
     ):
         # dpacked is aliased to a zeros input: windows the schedule never
         # visits (entries past every tile's termination point, invalid-
@@ -572,7 +584,7 @@ def _bwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
                 dma().start()
                 dma().wait()
             px, py, tile_f = _pixel_coords_batch(
-                i0, tiles_x, tiles_per_step
+                i0 + off_ref[0], tiles_x, tiles_per_step
             )
             bpx = tiles_per_step * PX
             g_all = g_ref[...]  # (tps, 8, PX)
@@ -598,7 +610,7 @@ def _bwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
             for t_rev in range(tiles_per_step):  # static unroll
                 t_off = tiles_per_step - 1 - t_rev
                 _bwd_one_tile(
-                    i0 + t_off,
+                    i0 + t_off, off_ref[0],
                     start_ref, count_ref, cend_ref, packed_hbm,
                     g_ref[t_off].T, fwd_ref[t_off].T,
                     buf, accbuf, flushbuf, scal, sem, flush_dma,
@@ -719,7 +731,7 @@ def _bwd_window_grads(
 
 
 def _bwd_one_tile(
-    i, start_ref, count_ref, cend_ref, packed_hbm, g8, fwd8,
+    i, tile_off, start_ref, count_ref, cend_ref, packed_hbm, g8, fwd8,
     buf, accbuf, flushbuf, scal, sem, flush_dma, acc_window, tiles_x,
     chunk, u_prefix, l_suffix, basis,
 ):
@@ -727,8 +739,8 @@ def _bwd_one_tile(
     # windows past the forward's early-termination point carry zero
     # gradient (their t_incl < TRANSMITTANCE_MIN -> keep2/live = 0)
     k = jnp.minimum(k, cend_ref[i])
-    px, py = _pixel_coords(i, tiles_x)
-    tile_f = i.astype(jnp.float32)
+    px, py = _pixel_coords(i + tile_off, tiles_x)
+    tile_f = (i + tile_off).astype(jnp.float32)
     # g8 (PX, 8): cols 0-3 feature grads, col 4 T_final grad
     g_final = g8[:, 4:5]  # (PX, 1)
     gt_final = g_final * fwd8[:, 4:5]  # g_T * frozen T_final
@@ -798,13 +810,17 @@ def _bwd_one_tile(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tiles_x", "tiles_y", "chunk", "interpret", "tps"),
+    static_argnames=(
+        "tiles_x", "tiles_y", "chunk", "interpret", "tps", "num_tiles"
+    ),
 )
 def _blend_bwd_impl(
     packed, tile_start, tile_count, fwd_out, g_out, tiles_x, tiles_y, chunk,
-    interpret=False, tps=None,
+    interpret=False, tps=None, tile_offset=None, num_tiles=None,
 ):
-    t = tiles_x * tiles_y
+    t = num_tiles if num_tiles is not None else tiles_x * tiles_y
+    if tile_offset is None:
+        tile_offset = jnp.zeros((1,), jnp.int32)
     e_pad = packed.shape[1]
     tps = tps or _tiles_per_step(t)
     pad_t = -(-t // tps) * tps
@@ -826,7 +842,7 @@ def _blend_bwd_impl(
     nsteps = pad_t // tps
     rev = lambda i, *_: (nsteps - 1 - i, 0, 0)  # tiles run descending
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -853,14 +869,16 @@ def _blend_bwd_impl(
             has_side_effects=True,
             dimension_semantics=("arbitrary",),  # monotone window schedule
         ),
-        input_output_aliases={6: 0},  # zeros input (after 3 scalar args)
+        input_output_aliases={7: 0},  # zeros input (after 4 scalar args)
         interpret=interpret,
-    )(tile_start, tile_count, cend, packed, g_out, fwd_out, zeros)
+    )(tile_offset, tile_start, tile_count, cend, packed, g_out, fwd_out,
+      zeros)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 8))
 def pallas_blend(
-    packed, tile_start, tile_count, tiles_x, tiles_y, chunk, interpret=False
+    packed, tile_start, tile_count, tiles_x, tiles_y, chunk,
+    interpret=False, tile_offset=None, num_tiles=None,
 ):
     """Blend depth-sorted packed entries -> (T, 8, PX) tile buffers.
 
@@ -869,28 +887,37 @@ def pallas_blend(
     log T carry); row 7: zero. Background compositing and
     alpha = 1 - T_final happen in XLA outside. Layout note: the minor dim
     must be PX (=256), not 8 — XLA pads small minor dims to 128 lanes.
+
+    ``tile_offset`` ((1,) int32) + ``num_tiles`` (static): tile-axis
+    sharding — tile_start/count are a LOCAL slice of ``num_tiles`` tiles
+    whose first tile has GLOBAL id tile_offset (entry offsets stay
+    global; the packed array is replicated).
     """
     return _blend_fwd_impl(
-        packed, tile_start, tile_count, tiles_x, tiles_y, chunk, interpret
+        packed, tile_start, tile_count, tiles_x, tiles_y, chunk, interpret,
+        tile_offset=tile_offset, num_tiles=num_tiles,
     )
 
 
 def _pallas_blend_fwd(
-    packed, tile_start, tile_count, tiles_x, tiles_y, chunk, interpret=False
+    packed, tile_start, tile_count, tiles_x, tiles_y, chunk,
+    interpret=False, tile_offset=None, num_tiles=None,
 ):
     out = _blend_fwd_impl(
-        packed, tile_start, tile_count, tiles_x, tiles_y, chunk, interpret
+        packed, tile_start, tile_count, tiles_x, tiles_y, chunk, interpret,
+        tile_offset=tile_offset, num_tiles=num_tiles,
     )
-    return out, (packed, tile_start, tile_count, out)
+    return out, (packed, tile_start, tile_count, out, tile_offset)
 
 
-def _pallas_blend_bwd(tiles_x, tiles_y, chunk, interpret, res, g_out):
-    packed, tile_start, tile_count, fwd_out = res
+def _pallas_blend_bwd(tiles_x, tiles_y, chunk, interpret, num_tiles, res,
+                      g_out):
+    packed, tile_start, tile_count, fwd_out, tile_offset = res
     dpacked = _blend_bwd_impl(
         packed, tile_start, tile_count, fwd_out, g_out, tiles_x, tiles_y,
-        chunk, interpret,
+        chunk, interpret, tile_offset=tile_offset, num_tiles=num_tiles,
     )
-    return (dpacked, None, None)
+    return (dpacked, None, None, None)
 
 
 pallas_blend.defvjp(_pallas_blend_fwd, _pallas_blend_bwd)
