@@ -121,3 +121,43 @@ def test_texture_step_masked_loss(dense_setup):
     diff = np.abs(np.asarray(im) - np.asarray(gt))[:, region]
     want = diff.sum() / (3 * region.sum())
     np.testing.assert_allclose(float(m["loss_im"]), want, rtol=1e-5)
+
+
+def test_texture_step_tile_sharded_matches_single(dense_setup):
+    """Dense step with the tile-sharded renderer == single-device."""
+    from jax.sharding import Mesh
+    from topo4d_tpu.rasterizer.pallas import (
+        render_gaussians_pallas_tile_sharded,
+    )
+
+    params, cams, means, gt = dense_setup
+    mesh = Mesh(np.array(jax.devices()[:8]), ("tile",))
+    render_sharded = lambda rv, c, b: render_gaussians_pallas_tile_sharded(
+        rv, c, mesh, max_span=8, chunk=128, interpret=True, binning=b
+    )
+    step = make_texture_step(render_sharded)
+    state = TextureState(params=dict(params), opt=adam_init(params))
+    anchor = params["dense_rgb_colors"]
+    lr = {k: jnp.asarray(0.01, jnp.float32) for k in params}
+    weights = {"im": jnp.asarray(1.0), "soft_color": jnp.asarray(0.02)}
+    vid = jnp.asarray(0, jnp.int32)
+    state_s, m_s = step(
+        state, means, gt, cams, vid, anchor, (), lr, weights, None
+    )
+    # reference: the plain single-device step
+    render_plain = lambda rv, c, b: render_gaussians_pallas(
+        rv, c, max_span=8, chunk=128, interpret=True, binning=b
+    )
+    step_p = make_texture_step(render_plain)
+    state0 = TextureState(params=dict(params), opt=adam_init(params))
+    state_p, m_p = step_p(
+        state0, means, gt, cams, vid, anchor, (), lr, weights, None
+    )
+    np.testing.assert_allclose(
+        float(m_s["loss_total"]), float(m_p["loss_total"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_s.params["dense_rgb_colors"]),
+        np.asarray(state_p.params["dense_rgb_colors"]),
+        rtol=1e-4, atol=1e-6,
+    )

@@ -180,6 +180,10 @@ class TextureConfig:
     # means3D are frozen within a frame (train.py:715-743) — any k>0 =
     # re-bin a view after k uses (1 = reference parity, every iteration)
     rebin_freq: int = 0
+    # shard each dense render's TILE axis across all devices (the 4K
+    # texture phase renders one view per iteration, where view-sharding
+    # cannot help); single-device runs ignore this
+    tile_shard: bool = False
 
 
 @dataclasses.dataclass

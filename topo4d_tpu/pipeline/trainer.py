@@ -91,13 +91,27 @@ def make_render_fn(cfg: Config):
 
 def make_dense_render_fn(cfg: Config):
     """Dense-loop renderer: (rv, cam, binning) — only the pallas backend
-    consumes the frozen binning; others ignore it."""
+    consumes the frozen binning; others ignore it. With
+    ``texture.tile_shard`` on a multi-device host, each render's tile
+    axis spreads over the whole mesh."""
     base = make_render_fn(cfg)
     if cfg.raster.backend != "pallas":
         return lambda rv, cam, binning: base(rv, cam)
+    bg = jnp.asarray(cfg.raster.bg, jnp.float32)
+    if cfg.texture.tile_shard and len(jax.devices()) > 1:
+        from jax.sharding import Mesh
+        from topo4d_tpu.rasterizer.pallas import (
+            render_gaussians_pallas_tile_sharded,
+        )
+
+        mesh = Mesh(np.array(jax.devices()), ("tile",))
+        return lambda rv, cam, binning: render_gaussians_pallas_tile_sharded(
+            rv, cam, mesh, bg=bg, max_span=cfg.raster.max_span,
+            chunk=cfg.raster.chunk, interpret=cfg.raster.interpret,
+            binning=binning,
+        )
     from topo4d_tpu.rasterizer.pallas import render_gaussians_pallas
 
-    bg = jnp.asarray(cfg.raster.bg, jnp.float32)
     return lambda rv, cam, binning: render_gaussians_pallas(
         rv, cam, bg=bg, max_span=cfg.raster.max_span,
         chunk=cfg.raster.chunk, interpret=cfg.raster.interpret,

@@ -129,6 +129,7 @@ def render_gaussians_pallas_tile_sharded(
     chunk: int = 128,
     interpret: bool = False,
     axis: str = "tile",
+    binning: Optional[Binning] = None,
 ) -> TiledRenderOutput:
     """ONE view's render sharded over the TILE axis of a device mesh.
 
@@ -149,10 +150,15 @@ def render_gaussians_pallas_tile_sharded(
     if bg is None:
         bg = jnp.zeros(3, dtype=jnp.float32)
     proj = project_gaussians(rv, cam)
-    bins = bin_gaussians_packed(
-        proj, rv.colors, rv.opacities, cam.width, cam.height,
-        max_span=max_span, chunk=chunk,
-    )
+    if binning is None:
+        bins = bin_gaussians_packed(
+            proj, rv.colors, rv.opacities, cam.width, cam.height,
+            max_span=max_span, chunk=chunk,
+        )
+    else:
+        bins = pack_with_binning(
+            proj, rv.colors, rv.opacities, binning, chunk
+        )
     tiles_x, tiles_y = num_tiles(cam.width, cam.height)
     t = tiles_x * tiles_y
     ndev = int(np.prod(mesh.devices.shape))
