@@ -74,12 +74,9 @@ def _bench_full_step() -> float:
     src = SyntheticSequence(params=params_np, cameras=cams, num_frames=1)
     trainer = Trainer(cfg, src, params_np, statics)
 
-    cpu = None
-    try:
-        cpu = jax.local_devices(backend="cpu")[0]
-    except RuntimeError:
-        pass
-    with jax.default_device(cpu):
+    from topo4d_tpu.pipeline.trainer import _cpu_device
+
+    with jax.default_device(_cpu_device()):
         ffa = cache_first_frame_attrs(params_np, regions)
     trainer.first_frame_attrs = jax.tree_util.tree_map(jnp.asarray, ffa)
     cons = trainer._constraints("track")
@@ -200,7 +197,9 @@ def main() -> None:
     t2 = run(225)
     step_s = (t2 - t1) / 200.0
     _note("render loop timed")
-    mpix_s = h * w / step_s / 1e6
+    from topo4d_tpu.utils.profiling import mpix_per_s
+
+    mpix_s = mpix_per_s(h, w, 1, step_s)
 
     # full tracking step at reference scale (all losses + Adam + scatters)
     full_dt = _bench_full_step()

@@ -36,7 +36,9 @@ def numpy_render_colors(vertices, triangles, colors, h, w, c=3):
         for u in range(umin, umax + 1):
             for v in range(vmin, vmax + 1):
                 w0, w1, w2 = point_weight([u, v], vertices[tri, :2])
-                if w2 < 0 or w2 > 1 or w1 < 0 or w1 > 1 or w1 + w2 > 1:
+                # inclusive far edge (this repo's documented deviation
+                # from the reference's strict test; see scanline.cpp)
+                if w2 < 0 or w1 < 0 or w1 + w2 > 1:
                     continue
                 pd = (
                     w0 * vertices[tri[0], 2]

@@ -33,13 +33,24 @@ def _build_lib() -> str:
         not os.path.exists(so_path)
         or os.path.getmtime(so_path) < os.path.getmtime(src)
     ):
-        tmp = so_path + ".tmp"
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src],
-            check=True,
-            capture_output=True,
-        )
-        os.replace(tmp, so_path)
+        # unique tmp per process: concurrent builders (parallel pytest,
+        # two trainers on a fresh machine) must not interleave writes
+        # before the atomic replace
+        tmp = f"{so_path}.tmp.{os.getpid()}"
+        try:
+            proc = subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src],
+                capture_output=True,
+            )
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    "g++ failed building the native scanline rasterizer:\n"
+                    + proc.stderr.decode(errors="replace")
+                )
+            os.replace(tmp, so_path)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
     return so_path
 
 
@@ -81,6 +92,8 @@ def render_colors(
     verts = np.ascontiguousarray(vertices, np.float32)
     tris = np.ascontiguousarray(triangles, np.int32)
     cols = np.ascontiguousarray(colors, np.float32)
+    if tris.size and int(tris.max()) >= min(verts.shape[0], cols.shape[0]):
+        raise ValueError("triangle index exceeds vertex/color rows")
     c = cols.shape[1]
     out = np.zeros((h, w, c), np.float32)
     _lib().render_colors(
@@ -125,6 +138,12 @@ def render_texture(
     tex = np.ascontiguousarray(texture, np.float32)
     tc = np.ascontiguousarray(tex_coords, np.float32)
     ttris = np.ascontiguousarray(tex_triangles, np.int32)
+    if ttris.shape != tris.shape:
+        raise ValueError(
+            f"tex_triangles {ttris.shape} must match triangles {tris.shape}"
+        )
+    if ttris.size and int(ttris.max()) >= tc.shape[0]:
+        raise ValueError("tex_triangles index exceeds tex_coords rows")
     th, tw, c = tex.shape
     out = np.zeros((h, w, c), np.float32)
     _lib().render_texture(

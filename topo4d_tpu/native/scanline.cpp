@@ -45,9 +45,14 @@ inline Bary barycentric(double px, double py, const double* a,
 }
 
 inline bool inside(const Bary& bw) {
-  // oracle isPointInTri: 0 <= u <= 1, 0 <= v <= 1, u + v <= 1
-  return bw.w2 >= 0.0 && bw.w2 <= 1.0 && bw.w1 >= 0.0 && bw.w1 <= 1.0 &&
-         bw.w1 + bw.w2 <= 1.0;
+  // DOCUMENTED DEVIATION from the reference's isPointInTri
+  // (mesh_core.cpp:49: u >= 0, v >= 0, u + v < 1): the far edge is
+  // INCLUSIVE here. A strict test makes exact-shared-edge pixels a
+  // mixed-precision knife edge (the f32 JAX bake and an f64 oracle
+  // disagree on u+v == 1); inclusive keeps all implementations
+  // self-consistent, filling first-triangle color on exact edges where
+  // the reference leaves background (a <=1px boundary difference).
+  return bw.w2 >= 0.0 && bw.w1 >= 0.0 && bw.w1 + bw.w2 <= 1.0;
 }
 
 }  // namespace

@@ -104,10 +104,10 @@ def _bake_band(
         puf, pvf,
         tx[:, 0:1], ty[:, 0:1], tx[:, 1:2], ty[:, 1:2], tx[:, 2:3], ty[:, 2:3],
     )
-    # oracle isPointInTri: 0<=u<=1, 0<=v<=1, u+v<=1 with u=w2, v=w1
-    inside = (
-        (w2 >= 0) & (w2 <= 1) & (w1 >= 0) & (w1 <= 1) & (w1 + w2 <= 1.0)
-    )
+    # far edge INCLUSIVE (documented deviation from the reference's
+    # strict u+v < 1 — see native/scanline.cpp: exact shared edges are a
+    # mixed-precision knife edge under a strict test) with u=w2, v=w1
+    inside = (w2 >= 0) & (w1 >= 0) & (w1 + w2 <= 1.0)
     valid = in_bbox & in_canvas & inside
 
     depth = w0 * tz[:, 0:1] + w1 * tz[:, 1:2] + w2 * tz[:, 2:3]
