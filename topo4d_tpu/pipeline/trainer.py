@@ -686,6 +686,19 @@ class Trainer:
                         self.timer.write(
                             os.path.join(self._out_dir, "timings.json")
                         )
+                        # per-frame progress line (the reference's tqdm)
+                        psnr_s = (
+                            f" psnr {geo['psnr']:.2f}"
+                            if "psnr" in geo else ""
+                        )
+                        print(
+                            f"[topo4d] frame {t + 1}"
+                            f"/{cfg.schedule.frame_num} loss "
+                            f"{geo.get('loss_total', float('nan')):.5f}"
+                            f"{psnr_s} ({geo['frame_seconds']:.1f}s, "
+                            f"{geo['mpix_per_s']:.2f} Mpix/s)",
+                            flush=True,
+                        )
 
         finally:
             # cancel the in-flight decode on any exit path
