@@ -132,9 +132,9 @@ def _bench_full_step() -> float:
         jax.block_until_ready(m["loss_total"])
         return time.perf_counter() - t0
 
-    l1 = run_log(10)
-    l2 = run_log(60)
-    dt_log = (l2 - l1) / 50.0
+    l1 = run_log(5)
+    l2 = run_log(30)
+    dt_log = (l2 - l1) / 25.0
     n_logged = 3  # iterations 0, 500, 1000 of 1100 at log_freq=500
     return dt_nolog + max(dt_log - dt_nolog, 0.0) * n_logged / 1100.0
 
@@ -226,4 +226,14 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # emit an honest failure record, then raise
+        print(json.dumps({
+            "metric": "Mpix/s/chip fwd+bwd rasterize",
+            "value": 0,
+            "unit": "Mpix/s",
+            "vs_baseline": 0,
+            "error": f"{type(exc).__name__}: {exc}",
+        }))
+        raise
