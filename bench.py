@@ -95,18 +95,29 @@ def _bench_full_step() -> float:
 
     order = view_order(24, 250, seed=1)
 
-    def run_scan(iters):
+    def run_scan(iters, reps=4):
+        # min over repeated post-warmup executions: through the remote
+        # tunnel the FIRST execution of a freshly loaded program can be
+        # multi-second (program transfer), which once inflated a 4.4 ms
+        # step to a 9.8 ms "measurement"
         nonlocal state, priors
         vids = jnp.asarray(order[:iters], jnp.int32)
-        state, priors, losses = trainer.multi_step(
-            state, images, cams, vids, priors, cons, lr, weights, "track"
-        )
-        t0 = time.perf_counter()
-        state, priors, losses = trainer.multi_step(
-            state, images, cams, vids, priors, cons, lr, weights, "track"
-        )
-        jax.block_until_ready(losses)
-        return time.perf_counter() - t0
+        for _ in range(2):  # compile + first (slow) execution
+            state, priors, losses = trainer.multi_step(
+                state, images, cams, vids, priors, cons, lr, weights,
+                "track"
+            )
+            jax.block_until_ready(losses)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            state, priors, losses = trainer.multi_step(
+                state, images, cams, vids, priors, cons, lr, weights,
+                "track"
+            )
+            jax.block_until_ready(losses)
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     t1 = run_scan(25)
     _note("track scan(25) compiled+timed")

@@ -1,0 +1,103 @@
+"""Compare per-dispatch step vs scanned multi_step marginal cost on TPU."""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from topo4d_tpu.config import Config
+    from topo4d_tpu.pipeline.data import SyntheticSequence, view_order
+    from topo4d_tpu.pipeline.scene import build_scene, cache_first_frame_attrs
+    from topo4d_tpu.pipeline.trainer import Trainer, _cpu_device
+    from topo4d_tpu.testing import (
+        make_camera_ring,
+        make_grid_mesh,
+        make_synthetic_regions,
+    )
+    from topo4d_tpu.topology.obj_io import MeshObj
+
+    rows, cols = 92, 90
+    verts, faces = make_grid_mesh(rows, cols, extent=0.5)
+    n = verts.shape[0]
+    uvs = np.stack(
+        np.meshgrid(np.linspace(0.05, 0.95, cols),
+                    np.linspace(0.05, 0.95, rows), indexing="xy"),
+        -1,
+    ).reshape(-1, 2).astype(np.float32)
+    mesh = MeshObj(vertices=verts, uvs=uvs, faces=faces,
+                   uv_faces=[list(f) for f in faces])
+    regions = make_synthetic_regions(n, faces)
+    cfg = Config()
+    cfg.raster.backend = "pallas"
+    cfg.raster.max_span = 2
+    cfg.data.use_mask = False
+    cfg.data.log_views = []
+    params_np, statics = build_scene(mesh, regions, cfg, num_views=24)
+    cams = make_camera_ring(24, width=375, height=512, distance=2.0)
+    src = SyntheticSequence(params=params_np, cameras=cams, num_frames=1)
+    trainer = Trainer(cfg, src, params_np, statics)
+    with jax.default_device(_cpu_device()):
+        ffa = cache_first_frame_attrs(params_np, regions)
+    trainer.first_frame_attrs = jax.tree_util.tree_map(jnp.asarray, ffa)
+    cons = trainer._constraints("track")
+    lr = trainer.lrs_for("track")
+    weights = trainer.weights_for("track")
+    gt = jnp.zeros((3, 512, 375))
+    state, priors = trainer.state, trainer.priors
+    images = jnp.zeros((24, 3, 512, 375))
+    order = view_order(24, 250, seed=1)
+    print("[setup done]", flush=True)
+
+    # (a) per-dispatch loop, no metrics, state carried
+    vid = jnp.asarray(0, jnp.int32)
+    s, p = state, priors
+
+    def run_loop(iters):
+        nonlocal s, p
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s, p, m = trainer.step(s, gt, cams, vid, p, cons, lr, weights,
+                                   "track", with_metrics=False)
+        jax.block_until_ready(m["loss_total"])
+        return time.perf_counter() - t0
+
+    s, p, m = trainer.step(s, gt, cams, vid, p, cons, lr, weights,
+                           "track", with_metrics=False)
+    jax.block_until_ready(m["loss_total"])
+    a1 = run_loop(25)
+    a2 = run_loop(225)
+    print(f"per-dispatch step:  {(a2 - a1) / 200 * 1e3:8.3f} ms", flush=True)
+
+    # (b) scan: warm (compile + 2 runs, blocked), then min over repeats
+    def scan_min(iters, reps=5):
+        nonlocal s, p
+        vids = jnp.asarray(order[:iters], jnp.int32)
+        for _ in range(2):
+            s2, p2, losses = trainer.multi_step(
+                s, images, cams, vids, p, cons, lr, weights, "track")
+            jax.block_until_ready(losses)
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            s, p, losses = trainer.multi_step(
+                s, images, cams, vids, p, cons, lr, weights, "track")
+            jax.block_until_ready(losses)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    b1 = scan_min(25)
+    print(f"scan(25)  min:      {b1 * 1e3:8.1f} ms  ({b1 / 25 * 1e3:.3f} ms/it)",
+          flush=True)
+    b2 = scan_min(225)
+    print(f"scan(225) min:      {b2 * 1e3:8.1f} ms  ({b2 / 225 * 1e3:.3f} ms/it)",
+          flush=True)
+    print(f"scan marginal:      {(b2 - b1) / 200 * 1e3:8.3f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
