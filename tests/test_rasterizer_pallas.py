@@ -261,3 +261,39 @@ def test_batched_quad_tile_fast_path_matches_oracle():
         np.testing.assert_allclose(
             b / scale, a / scale, rtol=2e-3, atol=2e-5, err_msg=k
         )
+
+
+def test_variant_parity_resident_vs_stream(scene):
+    """Forced resident and streaming blend kernels agree exactly.
+
+    The auto dispatch picks the VMEM-resident kernel for small entry
+    arrays (pallas_resident.fits_resident); this pins BOTH paths and
+    checks value + gradient equality so neither loses coverage.
+    """
+    params, _, cam = scene
+    bg = jnp.asarray([0.15, 0.25, 0.35])
+    rng = np.random.default_rng(3)
+    target = jnp.asarray(
+        rng.uniform(0, 1, (3, cam.height, cam.width)).astype(np.float32)
+    )
+
+    def loss(params, variant):
+        out = render_gaussians_pallas(
+            activate_params(params), cam, bg=bg, max_span=8, chunk=128,
+            interpret=True, variant=variant,
+        )
+        return (
+            jnp.mean(jnp.abs(out.image - target))
+            + 0.05 * jnp.mean(out.alpha)
+            + 0.02 * jnp.mean(out.depth)
+        )
+
+    v_res, g_res = jax.value_and_grad(lambda p: loss(p, "resident"))(params)
+    v_str, g_str = jax.value_and_grad(lambda p: loss(p, "stream"))(params)
+    np.testing.assert_allclose(float(v_res), float(v_str), rtol=1e-6)
+    for k in g_res:
+        a, b = np.asarray(g_str[k]), np.asarray(g_res[k])
+        scale = np.maximum(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(
+            b / scale, a / scale, rtol=1e-5, atol=1e-7, err_msg=k
+        )

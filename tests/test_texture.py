@@ -6,52 +6,57 @@ from topo4d_tpu.texture.bake import bake_texture, process_uv
 
 
 def numpy_render_colors(vertices, triangles, colors, h, w, c=3):
-    """Literal port of the oracle (face3d/mesh_numpy/render.py:177-217)."""
+    """Independent NumPy z-buffer rasterizer used as the test oracle.
+
+    Same CONTRACT as the reference's mesh_numpy renderer
+    (face3d/mesh_numpy/render.py:177-217 — per-triangle bbox scan,
+    barycentric color interpolation, bigger-z-wins with a strict >
+    depth test so the first triangle keeps ties) plus this repo's
+    inclusive-edge inside rule (all three weights >= 0; see
+    native/scanline.cpp), but written from that contract: barycentrics
+    come from the 2D edge-function (cross-product) solve, vectorized
+    over each triangle's bounding-box pixel grid, not the reference's
+    per-pixel Gram-matrix loop.
+    """
     image = np.zeros((h, w, c))
-    depth_buffer = np.zeros([h, w]) - 999999.0
-
-    def point_weight(p, tri):
-        v0 = tri[2] - tri[0]
-        v1 = tri[1] - tri[0]
-        v2 = np.array(p, float) - tri[0]
-        dot00 = v0 @ v0
-        dot01 = v0 @ v1
-        dot02 = v0 @ v2
-        dot11 = v1 @ v1
-        dot12 = v1 @ v2
-        denom = dot00 * dot11 - dot01 * dot01
-        inv = 0.0 if denom == 0 else 1.0 / denom
-        u = (dot11 * dot02 - dot01 * dot12) * inv
-        v = (dot00 * dot12 - dot01 * dot02) * inv
-        return 1 - u - v, v, u
-
-    for i in range(triangles.shape[0]):
-        tri = triangles[i]
-        umin = max(int(np.ceil(np.min(vertices[tri, 0]))), 0)
-        umax = min(int(np.floor(np.max(vertices[tri, 0]))), w - 1)
-        vmin = max(int(np.ceil(np.min(vertices[tri, 1]))), 0)
-        vmax = min(int(np.floor(np.max(vertices[tri, 1]))), h - 1)
-        if umax < umin or vmax < vmin:
+    depth = np.full((h, w), -999999.0)
+    verts = np.asarray(vertices, dtype=np.float64)
+    cols = np.asarray(colors, dtype=np.float64)
+    for tri in np.asarray(triangles):
+        p0, p1, p2 = verts[tri[0]], verts[tri[1]], verts[tri[2]]
+        lo_u = max(int(np.ceil(min(p0[0], p1[0], p2[0]))), 0)
+        hi_u = min(int(np.floor(max(p0[0], p1[0], p2[0]))), w - 1)
+        lo_v = max(int(np.ceil(min(p0[1], p1[1], p2[1]))), 0)
+        hi_v = min(int(np.floor(max(p0[1], p1[1], p2[1]))), h - 1)
+        if hi_u < lo_u or hi_v < lo_v:
             continue
-        for u in range(umin, umax + 1):
-            for v in range(vmin, vmax + 1):
-                w0, w1, w2 = point_weight([u, v], vertices[tri, :2])
-                # inclusive far edge (this repo's documented deviation
-                # from the reference's strict test; see scanline.cpp)
-                if w2 < 0 or w1 < 0 or w1 + w2 > 1:
-                    continue
-                pd = (
-                    w0 * vertices[tri[0], 2]
-                    + w1 * vertices[tri[1], 2]
-                    + w2 * vertices[tri[2], 2]
-                )
-                if pd > depth_buffer[v, u]:
-                    depth_buffer[v, u] = pd
-                    image[v, u] = (
-                        w0 * colors[tri[0]]
-                        + w1 * colors[tri[1]]
-                        + w2 * colors[tri[2]]
-                    )
+        us, vs = np.meshgrid(
+            np.arange(lo_u, hi_u + 1), np.arange(lo_v, hi_v + 1)
+        )
+        # p = p0 + w1*e1 + w2*e2  ->  cross both sides with e2 / e1
+        e1 = p1[:2] - p0[:2]
+        e2 = p2[:2] - p0[:2]
+        det = e1[0] * e2[1] - e1[1] * e2[0]
+        if det == 0.0:  # degenerate: weights 0 -> (1, 0, 0) like the ref
+            w1 = np.zeros(us.shape)
+            w2 = np.zeros(us.shape)
+        else:
+            dx = us - p0[0]
+            dy = vs - p0[1]
+            w1 = (dx * e2[1] - dy * e2[0]) / det
+            w2 = (e1[0] * dy - e1[1] * dx) / det
+        w0 = 1.0 - w1 - w2
+        pd = w0 * p0[2] + w1 * p1[2] + w2 * p2[2]
+        win = (
+            (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (pd > depth[vs, us])
+        )
+        depth[vs, us] = np.where(win, pd, depth[vs, us])
+        pix = (
+            w0[..., None] * cols[tri[0]]
+            + w1[..., None] * cols[tri[1]]
+            + w2[..., None] * cols[tri[2]]
+        )
+        image[vs, us] = np.where(win[..., None], pix, image[vs, us])
     return image
 
 
@@ -77,9 +82,15 @@ def test_bake_matches_scanline_oracle():
 
 def test_bake_tie_break_first_triangle_wins():
     # two coplanar (z=0) overlapping triangles: the scanline oracle keeps
-    # the FIRST (strict > depth test); the bake's scatter-min id matches
+    # the FIRST (strict > depth test); the bake's scatter-min id matches.
+    # Fractional coordinates keep every pixel strictly off the triangle
+    # edges — edge-exact inclusion is formulation-dependent float noise,
+    # not what this test checks (depth ties are).
     verts = np.array(
-        [[2, 2, 0], [20, 2, 0], [2, 20, 0], [3, 3, 0], [21, 3, 0], [3, 21, 0]],
+        [
+            [2.3, 2.3, 0], [20.3, 2.3, 0], [2.3, 20.3, 0],
+            [3.3, 3.3, 0], [21.3, 3.3, 0], [3.3, 21.3, 0],
+        ],
         np.float32,
     )
     tris = np.array([[0, 1, 2], [3, 4, 5]], np.int32)

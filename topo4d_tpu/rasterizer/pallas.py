@@ -30,7 +30,9 @@ from topo4d_tpu.rasterizer.tiles import (
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "max_span", "chunk", "interpret"),
+    static_argnames=(
+        "width", "height", "max_span", "chunk", "interpret", "variant"
+    ),
 )
 def _render_pallas_impl(
     proj,
@@ -43,6 +45,7 @@ def _render_pallas_impl(
     chunk: int,
     interpret: bool,
     binning: Optional[Binning] = None,
+    variant: str = "auto",
 ):
     if binning is None:
         bins = bin_gaussians_packed(
@@ -60,6 +63,7 @@ def _render_pallas_impl(
         tiles_y,
         chunk,
         interpret,
+        variant=variant,
     )  # (T, 8, PX)
 
     rgb_tiles = out[:, 0:3, :] + out[:, 4:5, :] * bg[None, :, None]
@@ -85,6 +89,7 @@ def render_gaussians_pallas(
     chunk: int = 128,
     interpret: bool = False,
     binning: Optional[Binning] = None,
+    variant: str = "auto",
 ) -> TiledRenderOutput:
     """Drop-in Pallas renderer matching the oracle contract.
 
@@ -94,6 +99,10 @@ def render_gaussians_pallas(
     ``binning``: a frozen permutation from ``binning_for`` — skips the
     per-call duplicate-and-sort (the dense texture loop's dominant
     binning cost; means3D are frozen there so the depth order is stable).
+
+    ``variant``: blend kernel selection — "auto" (VMEM-resident when the
+    packed entries fit the budget, streaming otherwise), "resident", or
+    "stream" (forced; used by parity tests to pin a path).
     """
     if bg is None:
         bg = jnp.zeros(3, dtype=jnp.float32)
@@ -109,6 +118,7 @@ def render_gaussians_pallas(
         chunk,
         interpret,
         binning,
+        variant,
     )
     return TiledRenderOutput(
         image=image,

@@ -406,13 +406,26 @@ def _fwd_general(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "tiles_x", "tiles_y", "chunk", "interpret", "tps", "num_tiles"
+        "tiles_x", "tiles_y", "chunk", "interpret", "tps", "num_tiles",
+        "variant",
     ),
 )
 def _blend_fwd_impl(
     packed, tile_start, tile_count, tiles_x, tiles_y, chunk, interpret=False,
-    tps=None, tile_offset=None, num_tiles=None,
+    tps=None, tile_offset=None, num_tiles=None, variant="auto",
 ):
+    if num_tiles is None and variant != "stream":
+        # small entry arrays: the DMA-free VMEM-resident kernel
+        from topo4d_tpu.rasterizer.pallas_resident import (
+            blend_fwd_resident,
+            fits_resident,
+        )
+
+        if variant == "resident" or fits_resident(packed.shape[1]):
+            return blend_fwd_resident(
+                packed, tile_start, tile_count, tiles_x, tiles_y, chunk,
+                interpret, tps or _tiles_per_step(tiles_x * tiles_y),
+            )
     # sharded tile axis: tile_start/count are a LOCAL slice of num_tiles
     # tiles starting at global tile id tile_offset
     t = num_tiles if num_tiles is not None else tiles_x * tiles_y
@@ -811,13 +824,27 @@ def _bwd_one_tile(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "tiles_x", "tiles_y", "chunk", "interpret", "tps", "num_tiles"
+        "tiles_x", "tiles_y", "chunk", "interpret", "tps", "num_tiles",
+        "variant",
     ),
 )
 def _blend_bwd_impl(
     packed, tile_start, tile_count, fwd_out, g_out, tiles_x, tiles_y, chunk,
     interpret=False, tps=None, tile_offset=None, num_tiles=None,
+    variant="auto",
 ):
+    if num_tiles is None and variant != "stream":
+        from topo4d_tpu.rasterizer.pallas_resident import (
+            blend_bwd_resident,
+            fits_resident,
+        )
+
+        if variant == "resident" or fits_resident(packed.shape[1]):
+            return blend_bwd_resident(
+                packed, tile_start, tile_count, fwd_out, g_out, tiles_x,
+                tiles_y, chunk, interpret,
+                tps or _tiles_per_step(tiles_x * tiles_y),
+            )
     t = num_tiles if num_tiles is not None else tiles_x * tiles_y
     if tile_offset is None:
         tile_offset = jnp.zeros((1,), jnp.int32)
@@ -875,10 +902,10 @@ def _blend_bwd_impl(
       zeros)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 8, 9))
 def pallas_blend(
     packed, tile_start, tile_count, tiles_x, tiles_y, chunk,
-    interpret=False, tile_offset=None, num_tiles=None,
+    interpret=False, tile_offset=None, num_tiles=None, variant="auto",
 ):
     """Blend depth-sorted packed entries -> (T, 8, PX) tile buffers.
 
@@ -895,27 +922,28 @@ def pallas_blend(
     """
     return _blend_fwd_impl(
         packed, tile_start, tile_count, tiles_x, tiles_y, chunk, interpret,
-        tile_offset=tile_offset, num_tiles=num_tiles,
+        tile_offset=tile_offset, num_tiles=num_tiles, variant=variant,
     )
 
 
 def _pallas_blend_fwd(
     packed, tile_start, tile_count, tiles_x, tiles_y, chunk,
-    interpret=False, tile_offset=None, num_tiles=None,
+    interpret=False, tile_offset=None, num_tiles=None, variant="auto",
 ):
     out = _blend_fwd_impl(
         packed, tile_start, tile_count, tiles_x, tiles_y, chunk, interpret,
-        tile_offset=tile_offset, num_tiles=num_tiles,
+        tile_offset=tile_offset, num_tiles=num_tiles, variant=variant,
     )
     return out, (packed, tile_start, tile_count, out, tile_offset)
 
 
-def _pallas_blend_bwd(tiles_x, tiles_y, chunk, interpret, num_tiles, res,
-                      g_out):
+def _pallas_blend_bwd(tiles_x, tiles_y, chunk, interpret, num_tiles,
+                      variant, res, g_out):
     packed, tile_start, tile_count, fwd_out, tile_offset = res
     dpacked = _blend_bwd_impl(
         packed, tile_start, tile_count, fwd_out, g_out, tiles_x, tiles_y,
         chunk, interpret, tile_offset=tile_offset, num_tiles=num_tiles,
+        variant=variant,
     )
     return (dpacked, None, None, None)
 
