@@ -1,0 +1,104 @@
+"""Time the real 8192^2 texture bake on the TPU (VERDICT r1 item 4).
+
+Reference-shaped workload: ~565k dense UV triangles (~294 frontal quads
+at density 30, helpers.py:602-654) covering ~half the canvas at ~11 px
+per triangle, full seam-duplicated color set, window 16, banded z-buffer.
+Times the single-device banded bake and (when >1 device) the sharded
+bake; reports peak traffic numbers and band partition stats.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import jax
+import numpy as np
+
+from topo4d_tpu.texture.bake import (
+    _band_partition,
+    bake_texture,
+    bake_texture_sharded,
+    process_uv,
+)
+
+T0 = time.perf_counter()
+
+
+def note(msg):
+    print(f"[+{time.perf_counter() - T0:7.1f}s] {msg}", flush=True)
+
+
+def make_dense_uv_mesh(quads_side=17, density=30, lo=0.15, hi=0.85):
+    """~(quads_side^2=289) frontal quads subdivided (density+1)^2 each.
+
+    Mirrors the reference's dense topology scale: 289 * 31^2 * 2 ~ 555k
+    triangles, ~11 px in a 8192 canvas over the [lo, hi]^2 UV region.
+    """
+    g = quads_side * (density + 1) + 1  # grid points per side
+    u = np.linspace(lo, hi, g, dtype=np.float64)
+    uu, vv = np.meshgrid(u, u, indexing="xy")
+    uvs = np.stack([uu.reshape(-1), vv.reshape(-1)], axis=1)
+    idx = np.arange(g * g).reshape(g, g)
+    a = idx[:-1, :-1].reshape(-1)
+    b = idx[:-1, 1:].reshape(-1)
+    c = idx[1:, 1:].reshape(-1)
+    d = idx[1:, :-1].reshape(-1)
+    tris = np.concatenate(
+        [np.stack([a, b, c], 1), np.stack([a, c, d], 1)]
+    ).astype(np.int32)
+    return uvs, tris
+
+
+def main(res=8192, window=16, bands=8):
+    uvs, tris = make_dense_uv_mesh()
+    rng = np.random.default_rng(0)
+    colors = rng.uniform(0, 1, (uvs.shape[0], 3)).astype(np.float32)
+    verts_px = process_uv(uvs, res, res)
+    # depth: mild slope so z-buffer ties are non-trivial
+    verts_px[:, 2] = rng.uniform(0, 1, uvs.shape[0])
+    note(
+        f"mesh ready: {tris.shape[0]} tris, {uvs.shape[0]} verts, "
+        f"{res}x{res} canvas, window {window}, bands {bands}"
+    )
+    ids, valid, band_h = _band_partition(verts_px, tris, res, bands)
+    note(
+        f"band partition: cap {ids.shape[1]} "
+        f"({ids.shape[1] * bands / max(tris.shape[0], 1):.2f}x dup factor)"
+    )
+
+    t0 = time.perf_counter()
+    out = bake_texture(verts_px, tris, colors, res, res, window, bands)
+    t_first = time.perf_counter() - t0
+    note(f"bake (compile+first): {t_first:.1f}s; nonzero rows "
+         f"{int((np.abs(out).sum(axis=(1, 2)) > 0).sum())}")
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = bake_texture(verts_px, tris, colors, res, res, window, bands)
+        best = min(best, time.perf_counter() - t0)
+    mb = out.nbytes / 2**20
+    note(f"bake (min of 3): {best:.2f}s  ({mb:.0f} MB texture)")
+
+    if len(jax.devices()) > 1:
+        t0 = time.perf_counter()
+        out_s = bake_texture_sharded(
+            verts_px, tris, colors, res, res, window, bands
+        )
+        note(f"sharded bake (compile+first): {time.perf_counter() - t0:.1f}s")
+        best_s = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out_s = bake_texture_sharded(
+                verts_px, tris, colors, res, res, window, bands
+            )
+            best_s = min(best_s, time.perf_counter() - t0)
+        eq = np.array_equal(out, out_s)
+        note(f"sharded bake (min of 3): {best_s:.2f}s  bitwise-equal={eq}")
+
+
+if __name__ == "__main__":
+    main()

@@ -297,3 +297,81 @@ def test_variant_parity_resident_vs_stream(scene):
         np.testing.assert_allclose(
             b / scale, a / scale, rtol=1e-5, atol=1e-7, err_msg=k
         )
+
+
+def test_tile_capacity_compact_matches_full(scene):
+    """Compact non-empty-tile mode == full-grid render: pixels + grads.
+
+    tile_capacity blends only occupied tiles and composites the rest as
+    background; with enough capacity the result must be identical.
+    Also checks the overflow counter stays 0 at sufficient capacity and
+    counts dropped tiles when the capacity is too small.
+    """
+    params, rv, cam = scene
+    from topo4d_tpu.core.gaussian import project_gaussians
+    from topo4d_tpu.rasterizer.tiles import bin_gaussians_packed
+
+    proj = project_gaussians(rv, cam)
+    bins = bin_gaussians_packed(
+        proj, rv.colors, rv.opacities, cam.width, cam.height, max_span=8,
+        chunk=128,
+    )
+    n_occupied = int(np.sum(np.asarray(bins.tile_count) > 0))
+    assert n_occupied > 2  # fixture sanity
+
+    bg = jnp.asarray([0.3, 0.1, 0.2])
+    rng = np.random.default_rng(5)
+    target = jnp.asarray(
+        rng.uniform(0, 1, (3, cam.height, cam.width)).astype(np.float32)
+    )
+
+    def loss(params, cap):
+        out = render_gaussians_pallas(
+            activate_params(params), cam, bg=bg, max_span=8, chunk=128,
+            interpret=True, tile_capacity=cap,
+        )
+        return (
+            jnp.mean(jnp.abs(out.image - target))
+            + 0.05 * jnp.mean(out.alpha)
+            + 0.02 * jnp.mean(out.depth)
+        )
+
+    full = render_gaussians_pallas(
+        rv, cam, bg=bg, max_span=8, chunk=128, interpret=True
+    )
+    compact = render_gaussians_pallas(
+        rv, cam, bg=bg, max_span=8, chunk=128, interpret=True,
+        tile_capacity=n_occupied,
+    )
+    np.testing.assert_allclose(
+        np.asarray(compact.image), np.asarray(full.image),
+        rtol=1e-6, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(compact.depth), np.asarray(full.depth),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(compact.alpha), np.asarray(full.alpha),
+        rtol=1e-6, atol=1e-7,
+    )
+    assert int(compact.num_overflow) == 0
+
+    v_full, g_full = jax.value_and_grad(lambda p: loss(p, None))(params)
+    v_comp, g_comp = jax.value_and_grad(
+        lambda p: loss(p, n_occupied)
+    )(params)
+    np.testing.assert_allclose(float(v_comp), float(v_full), rtol=1e-6)
+    for k in g_full:
+        a, b = np.asarray(g_full[k]), np.asarray(g_comp[k])
+        scale = np.maximum(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(
+            b / scale, a / scale, rtol=1e-5, atol=1e-7, err_msg=k
+        )
+
+    # under-capacity: dropped tiles are COUNTED, never silent
+    tiny = render_gaussians_pallas(
+        rv, cam, bg=bg, max_span=8, chunk=128, interpret=True,
+        tile_capacity=max(1, n_occupied - 2),
+    )
+    assert int(tiny.num_overflow) == 2

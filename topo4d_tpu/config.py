@@ -184,6 +184,12 @@ class TextureConfig:
     # texture phase renders one view per iteration, where view-sharding
     # cannot help); single-device runs ignore this
     tile_shard: bool = False
+    # blend at most this many NON-EMPTY tiles per dense render (the 4K
+    # canvas is mostly empty background around the head); 0 = off.
+    # Occupied tiles beyond the capacity are dropped and counted in the
+    # render's num_overflow — size generously (the trainer warns if a
+    # frame ever overflows)
+    tile_capacity: int = 0
 
 
 @dataclasses.dataclass

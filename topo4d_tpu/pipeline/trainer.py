@@ -112,10 +112,11 @@ def make_dense_render_fn(cfg: Config):
         )
     from topo4d_tpu.rasterizer.pallas import render_gaussians_pallas
 
+    cap = cfg.texture.tile_capacity or None
     return lambda rv, cam, binning: render_gaussians_pallas(
         rv, cam, bg=bg, max_span=cfg.raster.max_span,
         chunk=cfg.raster.chunk, interpret=cfg.raster.interpret,
-        binning=binning,
+        binning=binning, tile_capacity=cap,
     )
 
 
@@ -498,6 +499,24 @@ class Trainer:
                 binnings_stacked = jax.tree_util.tree_map(
                     lambda *x: jnp.stack(x), *per_view
                 )
+                cap = cfg.texture.tile_capacity
+                if cap:
+                    # one host sync per frame: dropped tiles are never
+                    # silent (SURVEY §7 hard part 2)
+                    occ = int(
+                        jnp.max(
+                            jnp.sum(
+                                binnings_stacked.tile_count > 0, axis=1
+                            )
+                        )
+                    )
+                    if occ > cap:
+                        print(
+                            f"[topo4d] WARNING frame {t}: "
+                            f"{occ - cap} occupied tiles beyond "
+                            f"texture.tile_capacity={cap} are dropped — "
+                            "raise the capacity"
+                        )
             i = 0
             while i < num_iters:
                 if i % log_freq == 0:

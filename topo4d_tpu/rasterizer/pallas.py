@@ -22,6 +22,7 @@ from topo4d_tpu.rasterizer.tiles import (
     TILE,
     Binning,
     bin_gaussians_packed,
+    compact_nonempty_tiles,
     compute_binning,
     num_tiles,
     pack_with_binning,
@@ -31,7 +32,8 @@ from topo4d_tpu.rasterizer.tiles import (
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "max_span", "chunk", "interpret", "variant"
+        "width", "height", "max_span", "chunk", "interpret", "variant",
+        "tile_capacity",
     ),
 )
 def _render_pallas_impl(
@@ -46,6 +48,7 @@ def _render_pallas_impl(
     interpret: bool,
     binning: Optional[Binning] = None,
     variant: str = "auto",
+    tile_capacity: Optional[int] = None,
 ):
     if binning is None:
         bins = bin_gaussians_packed(
@@ -55,16 +58,33 @@ def _render_pallas_impl(
     else:
         bins = pack_with_binning(proj, colors, opacities, binning, chunk)
     tiles_x, tiles_y = num_tiles(width, height)
-    out = pallas_blend(
-        bins.packed,
-        bins.tile_start,
-        bins.tile_count,
-        tiles_x,
-        tiles_y,
-        chunk,
-        interpret,
-        variant=variant,
-    )  # (T, 8, PX)
+    t = tiles_x * tiles_y
+    tile_overflow = jnp.zeros((), jnp.int32)
+    if tile_capacity is not None and tile_capacity < t:
+        # compact mode: blend only the non-empty tiles (at 4K most of
+        # the canvas is empty background), then scatter into an empty
+        # template whose rows composite to pure background
+        ids, cstart, ccount, tile_overflow = compact_nonempty_tiles(
+            bins.tile_start, bins.tile_count, tile_capacity
+        )
+        out_c = pallas_blend(
+            bins.packed, cstart, ccount, tiles_x, tiles_y, chunk,
+            interpret, num_tiles=tile_capacity, variant=variant,
+            tile_map=ids,
+        )  # (capacity, 8, PX)
+        template = jnp.zeros((t, 8, PX), jnp.float32).at[:, 4, :].set(1.0)
+        out = template.at[ids].set(out_c, mode="drop")
+    else:
+        out = pallas_blend(
+            bins.packed,
+            bins.tile_start,
+            bins.tile_count,
+            tiles_x,
+            tiles_y,
+            chunk,
+            interpret,
+            variant=variant,
+        )  # (T, 8, PX)
 
     rgb_tiles = out[:, 0:3, :] + out[:, 4:5, :] * bg[None, :, None]
     depth_tiles = out[:, 3:4, :]
@@ -77,7 +97,10 @@ def _render_pallas_impl(
         x = x.transpose(2, 0, 3, 1, 4).reshape(c, tiles_y * TILE, tiles_x * TILE)
         return x[:, :height, :width]
 
-    return untile(rgb_tiles), untile(depth_tiles), untile(alpha_tiles), bins.num_cropped
+    return (
+        untile(rgb_tiles), untile(depth_tiles), untile(alpha_tiles),
+        bins.num_cropped, tile_overflow,
+    )
 
 
 def render_gaussians_pallas(
@@ -90,6 +113,7 @@ def render_gaussians_pallas(
     interpret: bool = False,
     binning: Optional[Binning] = None,
     variant: str = "auto",
+    tile_capacity: Optional[int] = None,
 ) -> TiledRenderOutput:
     """Drop-in Pallas renderer matching the oracle contract.
 
@@ -103,11 +127,16 @@ def render_gaussians_pallas(
     ``variant``: blend kernel selection — "auto" (VMEM-resident when the
     packed entries fit the budget, streaming otherwise), "resident", or
     "stream" (forced; used by parity tests to pin a path).
+
+    ``tile_capacity``: blend at most this many NON-EMPTY tiles and
+    composite the rest as background (the 4K dense phase: most of the
+    canvas is empty). Non-empty tiles beyond the capacity are dropped
+    and counted in ``num_overflow`` — size the capacity so it stays 0.
     """
     if bg is None:
         bg = jnp.zeros(3, dtype=jnp.float32)
     proj = project_gaussians(rv, cam, means2d_offset)
-    image, depth, alpha, ncrop = _render_pallas_impl(
+    image, depth, alpha, ncrop, tile_overflow = _render_pallas_impl(
         proj,
         rv.colors,
         rv.opacities,
@@ -119,6 +148,7 @@ def render_gaussians_pallas(
         interpret,
         binning,
         variant,
+        tile_capacity,
     )
     return TiledRenderOutput(
         image=image,
@@ -126,7 +156,9 @@ def render_gaussians_pallas(
         depth=depth,
         alpha=alpha,
         num_cropped=ncrop,
-        num_overflow=jnp.zeros((), jnp.int32),  # packed binning never drops
+        # packed binning never drops entries; compact mode may drop
+        # whole tiles past the capacity (counted here)
+        num_overflow=tile_overflow,
     )
 
 

@@ -70,14 +70,20 @@ def _pixel_coords(tile_idx, tiles_x: int):
     return px, py
 
 
-def _pixel_coords_batch(i0, tiles_x: int, tps: int):
-    """Coordinates of ``tps`` consecutive tiles stacked on sublanes.
+def _pixel_coords_batch(tids, tiles_x: int):
+    """Coordinates of an explicit list of tile ids stacked on sublanes.
 
-    Returns (px, py, tile_f), each (tps*PX, 1): rows [t*PX, (t+1)*PX)
-    belong to tile i0+t. Lets one MXU matmul serve all tps tiles.
+    Returns (px, py, tile_f), each (len(tids)*PX, 1): rows
+    [t*PX, (t+1)*PX) belong to tile ``tids[t]`` (traced scalars from the
+    prefetched tile map — ids need not be contiguous under compaction).
+    One MXU matmul serves all the listed tiles.
     """
+    tps = len(tids)
     row = jax.lax.broadcasted_iota(jnp.int32, (tps * PX, 1), 0)
-    tile_idx = i0 + row // PX
+    t_of_row = row // PX
+    tile_idx = jnp.zeros((tps * PX, 1), jnp.int32)
+    for t_off, tid in enumerate(tids):
+        tile_idx = jnp.where(t_of_row == t_off, tid, tile_idx)
     p = row % PX
     tx = tile_idx % tiles_x
     ty = tile_idx // tiles_x
@@ -180,7 +186,7 @@ def _fwd_window(data, px, py, tile_f, u_prefix, t_un, acc, chunk):
 
 
 def _fwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
-    def kernel(off_ref, start_ref, count_ref, packed_hbm, out_ref, buf,
+    def kernel(tmap_ref, start_ref, count_ref, packed_hbm, out_ref, buf,
                scal, sem):
         step = pl.program_id(0)
         u_prefix, _ = _tri_masks(chunk)
@@ -193,9 +199,10 @@ def _fwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
             scal[0] = -1
             scal[1] = 0
 
-        # tile ids are offset by off_ref[0] when the tile axis is
-        # sharded across devices (tile_start/count are LOCAL slices,
-        # entry offsets stay global)
+        # tmap_ref maps grid position -> GLOBAL tile id: identity for a
+        # plain render, offset arange for a sharded tile slice, or a
+        # compacted non-empty-tile list (must be ascending — the window
+        # cache/monotone schedule rides on it)
         # batched fast path: at geometry scale (~23 entries/tile vs the
         # 128-entry window) all tiles of a step often fit ONE shared
         # window — then a single (tps*PX, chunk) matmul serves them all
@@ -245,7 +252,7 @@ def _fwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
                 dma().start()
                 dma().wait()
             px, py, tile_f = _pixel_coords_batch(
-                i0 + off_ref[0], tiles_x, tiles_per_step
+                [tmap_ref[i0 + t] for t in range(tiles_per_step)], tiles_x
             )
             bpx = tiles_per_step * PX
             ones_b = jnp.ones((bpx, 1), jnp.float32)
@@ -276,7 +283,7 @@ def _fwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
         @pl.when(jnp.logical_not(batchable))
         def _():
             _fwd_general(
-                step, off_ref[0], start_ref, count_ref, packed_hbm,
+                step, tmap_ref, start_ref, count_ref, packed_hbm,
                 out_ref, buf, scal, sem, tiles_x, chunk, tiles_per_step,
                 u_prefix,
             )
@@ -285,15 +292,16 @@ def _fwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
 
 
 def _fwd_general(
-    step, tile_off, start_ref, count_ref, packed_hbm, out_ref, buf, scal,
+    step, tmap_ref, start_ref, count_ref, packed_hbm, out_ref, buf, scal,
     sem, tiles_x, chunk, tiles_per_step, u_prefix,
 ):
     """Per-tile forward path (multi-window tiles, mixed windows)."""
     for t_off in range(tiles_per_step):  # static unroll
         i = step * tiles_per_step + t_off
         first, k = _window_bounds(start_ref[i], count_ref[i], chunk)
-        px, py = _pixel_coords(i + tile_off, tiles_x)
-        tile_f = (i + tile_off).astype(jnp.float32)
+        tid = tmap_ref[i]
+        px, py = _pixel_coords(tid, tiles_x)
+        tile_f = tid.astype(jnp.float32)
         # ascending tiles => ascending first; a hit means the previous
         # tile's last-loaded window IS this tile's first window
         hit = jnp.logical_and(k > 0, scal[0] == first)
@@ -403,6 +411,31 @@ def _fwd_general(
 
 
 
+def _build_tile_map(
+    tile_map, tile_offset, t, pad_t, tiles_x, tiles_y
+):
+    """Padded (pad_t,) grid-position -> global-tile-id map.
+
+    Identity (+offset for a sharded slice) when no explicit map is given.
+    Padding rows get the sentinel id tiles_x*tiles_y: it never matches a
+    valid entry's tile field (invalid entries carry the same sentinel but
+    zeroed fields -> alpha 0; pad columns carry -1) and scatter-drop
+    discards it outside.
+    """
+    sent = jnp.int32(tiles_x * tiles_y)
+    if tile_map is None:
+        base = jnp.arange(pad_t, dtype=jnp.int32)
+        if tile_offset is not None:
+            base = base + tile_offset[0]
+        return jnp.where(jnp.arange(pad_t) < t, base, sent)
+    tmap = tile_map.astype(jnp.int32)
+    if pad_t != t:
+        tmap = jnp.concatenate(
+            [tmap, jnp.full(pad_t - t, sent, jnp.int32)]
+        )
+    return tmap
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -413,8 +446,9 @@ def _fwd_general(
 def _blend_fwd_impl(
     packed, tile_start, tile_count, tiles_x, tiles_y, chunk, interpret=False,
     tps=None, tile_offset=None, num_tiles=None, variant="auto",
+    tile_map=None,
 ):
-    if num_tiles is None and variant != "stream":
+    if num_tiles is None and tile_map is None and variant != "stream":
         # small entry arrays: the DMA-free VMEM-resident kernel
         from topo4d_tpu.rasterizer.pallas_resident import (
             blend_fwd_resident,
@@ -427,12 +461,14 @@ def _blend_fwd_impl(
                 interpret, tps or _tiles_per_step(tiles_x * tiles_y),
             )
     # sharded tile axis: tile_start/count are a LOCAL slice of num_tiles
-    # tiles starting at global tile id tile_offset
+    # tiles starting at global tile id tile_offset; compact mode:
+    # tile_map lists the (ascending) global ids of the num_tiles rows
     t = num_tiles if num_tiles is not None else tiles_x * tiles_y
-    if tile_offset is None:
-        tile_offset = jnp.zeros((1,), jnp.int32)
     tps = tps or _tiles_per_step(t)
     pad_t = -(-t // tps) * tps
+    tmap = _build_tile_map(
+        tile_map, tile_offset, t, pad_t, tiles_x, tiles_y
+    )
     if pad_t != t:
         # pad tile metadata so the grid divides evenly (extra tiles empty)
         tile_start = jnp.concatenate(
@@ -462,7 +498,7 @@ def _blend_fwd_impl(
             dimension_semantics=("arbitrary",),  # window cache is stateful
         ),
         interpret=interpret,
-    )(tile_offset, tile_start, tile_count, packed)
+    )(tmap, tile_start, tile_count, packed)
     return out[:t]
 
 
@@ -494,7 +530,7 @@ def _bwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
     """
 
     def kernel(
-        off_ref, start_ref, count_ref, cend_ref, packed_hbm, g_ref,
+        tmap_ref, start_ref, count_ref, cend_ref, packed_hbm, g_ref,
         fwd_ref, zeros_hbm, dpacked_hbm, buf, accbuf, flushbuf, scal,
         sem, wsem,
     ):
@@ -597,7 +633,7 @@ def _bwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
                 dma().start()
                 dma().wait()
             px, py, tile_f = _pixel_coords_batch(
-                i0 + off_ref[0], tiles_x, tiles_per_step
+                [tmap_ref[i0 + t] for t in range(tiles_per_step)], tiles_x
             )
             bpx = tiles_per_step * PX
             g_all = g_ref[...]  # (tps, 8, PX)
@@ -623,7 +659,7 @@ def _bwd_kernel(tiles_x: int, chunk: int, tiles_per_step: int):
             for t_rev in range(tiles_per_step):  # static unroll
                 t_off = tiles_per_step - 1 - t_rev
                 _bwd_one_tile(
-                    i0 + t_off, off_ref[0],
+                    i0 + t_off, tmap_ref[i0 + t_off],
                     start_ref, count_ref, cend_ref, packed_hbm,
                     g_ref[t_off].T, fwd_ref[t_off].T,
                     buf, accbuf, flushbuf, scal, sem, flush_dma,
@@ -744,7 +780,7 @@ def _bwd_window_grads(
 
 
 def _bwd_one_tile(
-    i, tile_off, start_ref, count_ref, cend_ref, packed_hbm, g8, fwd8,
+    i, tid, start_ref, count_ref, cend_ref, packed_hbm, g8, fwd8,
     buf, accbuf, flushbuf, scal, sem, flush_dma, acc_window, tiles_x,
     chunk, u_prefix, l_suffix, basis,
 ):
@@ -752,8 +788,8 @@ def _bwd_one_tile(
     # windows past the forward's early-termination point carry zero
     # gradient (their t_incl < TRANSMITTANCE_MIN -> keep2/live = 0)
     k = jnp.minimum(k, cend_ref[i])
-    px, py = _pixel_coords(i + tile_off, tiles_x)
-    tile_f = (i + tile_off).astype(jnp.float32)
+    px, py = _pixel_coords(tid, tiles_x)
+    tile_f = tid.astype(jnp.float32)
     # g8 (PX, 8): cols 0-3 feature grads, col 4 T_final grad
     g_final = g8[:, 4:5]  # (PX, 1)
     gt_final = g_final * fwd8[:, 4:5]  # g_T * frozen T_final
@@ -831,9 +867,9 @@ def _bwd_one_tile(
 def _blend_bwd_impl(
     packed, tile_start, tile_count, fwd_out, g_out, tiles_x, tiles_y, chunk,
     interpret=False, tps=None, tile_offset=None, num_tiles=None,
-    variant="auto",
+    variant="auto", tile_map=None,
 ):
-    if num_tiles is None and variant != "stream":
+    if num_tiles is None and tile_map is None and variant != "stream":
         from topo4d_tpu.rasterizer.pallas_resident import (
             blend_bwd_resident,
             fits_resident,
@@ -846,11 +882,12 @@ def _blend_bwd_impl(
                 tps or _tiles_per_step(tiles_x * tiles_y),
             )
     t = num_tiles if num_tiles is not None else tiles_x * tiles_y
-    if tile_offset is None:
-        tile_offset = jnp.zeros((1,), jnp.int32)
     e_pad = packed.shape[1]
     tps = tps or _tiles_per_step(t)
     pad_t = -(-t // tps) * tps
+    tmap = _build_tile_map(
+        tile_map, tile_offset, t, pad_t, tiles_x, tiles_y
+    )
     cend = fwd_out[:, 5, 0].astype(jnp.int32)  # forward residual row 5
     if pad_t != t:
         tile_start = jnp.concatenate(
@@ -898,7 +935,7 @@ def _blend_bwd_impl(
         ),
         input_output_aliases={7: 0},  # zeros input (after 4 scalar args)
         interpret=interpret,
-    )(tile_offset, tile_start, tile_count, cend, packed, g_out, fwd_out,
+    )(tmap, tile_start, tile_count, cend, packed, g_out, fwd_out,
       zeros)
 
 
@@ -906,6 +943,7 @@ def _blend_bwd_impl(
 def pallas_blend(
     packed, tile_start, tile_count, tiles_x, tiles_y, chunk,
     interpret=False, tile_offset=None, num_tiles=None, variant="auto",
+    tile_map=None,
 ):
     """Blend depth-sorted packed entries -> (T, 8, PX) tile buffers.
 
@@ -923,29 +961,32 @@ def pallas_blend(
     return _blend_fwd_impl(
         packed, tile_start, tile_count, tiles_x, tiles_y, chunk, interpret,
         tile_offset=tile_offset, num_tiles=num_tiles, variant=variant,
+        tile_map=tile_map,
     )
 
 
 def _pallas_blend_fwd(
     packed, tile_start, tile_count, tiles_x, tiles_y, chunk,
     interpret=False, tile_offset=None, num_tiles=None, variant="auto",
+    tile_map=None,
 ):
     out = _blend_fwd_impl(
         packed, tile_start, tile_count, tiles_x, tiles_y, chunk, interpret,
         tile_offset=tile_offset, num_tiles=num_tiles, variant=variant,
+        tile_map=tile_map,
     )
-    return out, (packed, tile_start, tile_count, out, tile_offset)
+    return out, (packed, tile_start, tile_count, out, tile_offset, tile_map)
 
 
 def _pallas_blend_bwd(tiles_x, tiles_y, chunk, interpret, num_tiles,
                       variant, res, g_out):
-    packed, tile_start, tile_count, fwd_out, tile_offset = res
+    packed, tile_start, tile_count, fwd_out, tile_offset, tile_map = res
     dpacked = _blend_bwd_impl(
         packed, tile_start, tile_count, fwd_out, g_out, tiles_x, tiles_y,
         chunk, interpret, tile_offset=tile_offset, num_tiles=num_tiles,
-        variant=variant,
+        variant=variant, tile_map=tile_map,
     )
-    return (dpacked, None, None, None)
+    return (dpacked, None, None, None, None)
 
 
 pallas_blend.defvjp(_pallas_blend_fwd, _pallas_blend_bwd)

@@ -56,7 +56,9 @@ def fits_resident(e_pad: int) -> bool:
 
 
 def _res_fwd_kernel(tiles_x: int, chunk: int, tps: int):
-    def kernel(off_ref, start_ref, count_ref, packed_ref, out_ref):
+    # resident kernels serve only the unsharded, uncompacted case: the
+    # grid position IS the global tile id (no tile map indirection)
+    def kernel(start_ref, count_ref, packed_ref, out_ref):
         step = pl.program_id(0)
         u_prefix, _ = _tri_masks(chunk)
         i0 = step * tps
@@ -89,7 +91,7 @@ def _res_fwd_kernel(tiles_x: int, chunk: int, tps: int):
             off = pl.multiple_of(f_ref * chunk, chunk)
             data = packed_ref[:, pl.ds(off, chunk)]
             px, py, tile_f = _pixel_coords_batch(
-                i0 + off_ref[0], tiles_x, tps
+                [i0 + t for t in range(tps)], tiles_x
             )
             bpx = tps * PX
             ones_b = jnp.ones((bpx, 1), jnp.float32)
@@ -119,8 +121,8 @@ def _res_fwd_kernel(tiles_x: int, chunk: int, tps: int):
                 first, k = _window_bounds(
                     start_ref[i], count_ref[i], chunk
                 )
-                px, py = _pixel_coords(i + off_ref[0], tiles_x)
-                tile_f = (i + off_ref[0]).astype(jnp.float32)
+                px, py = _pixel_coords(i, tiles_x)
+                tile_f = jnp.int32(i).astype(jnp.float32)
                 ones = jnp.ones((PX, 1), jnp.float32)
 
                 def body(state, first=first, px=px, py=py, tile_f=tile_f):
@@ -168,7 +170,7 @@ def _res_bwd_kernel(tiles_x: int, chunk: int, tps: int):
     No monotone schedule, no flush DMAs, no aliased-zeros input.
     """
 
-    def kernel(off_ref, start_ref, count_ref, cend_ref, packed_ref,
+    def kernel(start_ref, count_ref, cend_ref, packed_ref,
                g_ref, fwd_ref, dpacked_ref):
         step = pl.program_id(0)
         u_prefix, l_suffix = _tri_masks(chunk)
@@ -207,7 +209,7 @@ def _res_bwd_kernel(tiles_x: int, chunk: int, tps: int):
             off = pl.multiple_of(f_ref * chunk, chunk)
             data = packed_ref[:, pl.ds(off, chunk)]
             px, py, tile_f = _pixel_coords_batch(
-                i0 + off_ref[0], tiles_x, tps
+                [i0 + t for t in range(tps)], tiles_x
             )
             bpx = tps * PX
             g8_b = g_ref[...].transpose(0, 2, 1).reshape(bpx, 8)
@@ -232,8 +234,8 @@ def _res_bwd_kernel(tiles_x: int, chunk: int, tps: int):
                     start_ref[i], count_ref[i], chunk
                 )
                 k = jnp.minimum(k0, cend_ref[i])
-                px, py = _pixel_coords(i + off_ref[0], tiles_x)
-                tile_f = (i + off_ref[0]).astype(jnp.float32)
+                px, py = _pixel_coords(i, tiles_x)
+                tile_f = jnp.int32(i).astype(jnp.float32)
                 g8 = g_ref[t_off].T  # (PX, 8)
                 fwd8 = fwd_ref[t_off].T
                 gt_final = g8[:, 4:5] * fwd8[:, 4:5]
@@ -277,9 +279,8 @@ def blend_fwd_resident(
         tile_count = jnp.concatenate(
             [tile_count, jnp.zeros(pad_t - t, jnp.int32)]
         )
-    tile_offset = jnp.zeros((1,), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(pad_t // tps,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(
@@ -291,7 +292,7 @@ def blend_fwd_resident(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((pad_t, 8, PX), jnp.float32),
         interpret=interpret,
-    )(tile_offset, tile_start, tile_count, packed)
+    )(tile_start, tile_count, packed)
     return out[:t]
 
 
@@ -321,12 +322,11 @@ def blend_bwd_resident(
         fwd_out = jnp.concatenate(
             [fwd_out, jnp.zeros((pad_t - t, 8, PX), fwd_out.dtype)]
         )
-    tile_offset = jnp.zeros((1,), jnp.int32)
     blk = pl.BlockSpec(
         (tps, 8, PX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(pad_t // tps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -340,4 +340,4 @@ def blend_bwd_resident(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((PACK_FIELDS, e_pad), jnp.float32),
         interpret=interpret,
-    )(tile_offset, tile_start, tile_count, cend, packed, g_out, fwd_out)
+    )(tile_start, tile_count, cend, packed, g_out, fwd_out)

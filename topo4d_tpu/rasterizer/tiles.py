@@ -14,7 +14,7 @@ Gaussian whose tile rect exceeds the span capacity is cropped and COUNTED
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -161,6 +161,12 @@ class Binning(NamedTuple):
     permutation can be computed ONCE per (frame, view) and every iteration
     reduces to one gather along it. Rotation updates can drift radii
     slightly; ``texture.rebin_freq`` in the config controls re-binning.
+
+    ``inv_positions`` (N, max_span^2) is the INVERSE of the permutation:
+    the sorted-entry positions belonging to each gaussian (every gaussian
+    owns exactly max_span^2 slots, valid or not). It turns the packing
+    backward from a scatter-add over E entries (~87 ms/iter at the 4K
+    dense scale — XLA scatter serializes) into a dense gather+sum.
     """
 
     sorted_gid: jnp.ndarray  # (E,) int32 entry -> gaussian id
@@ -169,6 +175,7 @@ class Binning(NamedTuple):
     tile_start: jnp.ndarray  # (T,) int32
     tile_count: jnp.ndarray  # (T,) int32
     num_cropped: jnp.ndarray  # () int32
+    inv_positions: Optional[jnp.ndarray] = None  # (N, R) int32
 
 
 def depth_sorted_order(proj: Projected) -> jnp.ndarray:
@@ -255,14 +262,50 @@ def compute_binning(
             (flat_tile, flat_rank), num_keys=2, is_stable=True
         )
     tile_start, tile_count = _tile_ranges(sorted_tile, t)
+    sorted_gid = order[sorted_rank].astype(jnp.int32)
+    # inverse permutation: each gaussian's max_span^2 sorted-entry slots
+    # (stable argsort groups by gid; every gid appears exactly R times)
+    r = max_span * max_span
+    inv = jnp.argsort(sorted_gid, stable=True).astype(jnp.int32)
     return Binning(
-        sorted_gid=order[sorted_rank].astype(jnp.int32),
+        sorted_gid=sorted_gid,
         sorted_tile=sorted_tile,
         entry_valid=sorted_tile < t,
         tile_start=tile_start,
         tile_count=tile_count,
         num_cropped=num_cropped,
+        inv_positions=inv.reshape(n, r),
     )
+
+
+@jax.custom_vjp
+def _gather_entries(fields, sorted_gid, entry_valid, inv_positions):
+    """(10, N) fields -> (10, E) sorted-entry rows (invalid zeroed).
+
+    Custom VJP: the transpose of the take is a scatter-add over E
+    entries, which XLA serializes (~87 ms/iter at 1.2M entries on a
+    v5e). Every gaussian owns exactly R sorted slots, so the backward
+    is instead a dense (10, N, R) gather along ``inv_positions`` summed
+    over R — exact same sum, minus the scatter.
+    """
+    rows10 = jnp.take(fields, sorted_gid, axis=1)
+    return jnp.where(entry_valid[None, :], rows10, 0.0)
+
+
+def _gather_entries_fwd(fields, sorted_gid, entry_valid, inv_positions):
+    out = _gather_entries(fields, sorted_gid, entry_valid, inv_positions)
+    return out, (entry_valid, inv_positions)
+
+
+def _gather_entries_bwd(res, g):
+    entry_valid, inv = res
+    gv = jnp.where(entry_valid[None, :], g, 0.0)  # (10, E)
+    d_fields = jnp.sum(jnp.take(gv, inv.reshape(-1), axis=1)
+                       .reshape(gv.shape[0], *inv.shape), axis=-1)
+    return d_fields, None, None, None
+
+
+_gather_entries.defvjp(_gather_entries_fwd, _gather_entries_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
@@ -275,9 +318,9 @@ def pack_with_binning(
 ) -> PackedBins:
     """Pack CURRENT values along a frozen permutation: one fused gather.
 
-    Differentiable under XLA autodiff: the backward of the single
-    (10, N) -> (10, E) take is one scatter-add — the same segment-sum the
-    sort-with-data custom VJP implements by hand.
+    With ``binning.inv_positions`` present the backward is a dense
+    inverse gather (see ``_gather_entries``); otherwise XLA's take
+    transpose (a scatter-add segment-sum) applies.
     """
     if chunk % PACK_CHUNK:
         raise ValueError(f"chunk must be a multiple of {PACK_CHUNK}")
@@ -296,8 +339,14 @@ def pack_with_binning(
         ],
         axis=0,
     )  # (10, N)
-    rows10 = jnp.take(fields, binning.sorted_gid, axis=1)  # (10, E)
-    rows10 = jnp.where(binning.entry_valid[None, :], rows10, 0.0)
+    if binning.inv_positions is not None:
+        rows10 = _gather_entries(
+            fields, binning.sorted_gid, binning.entry_valid,
+            binning.inv_positions,
+        )
+    else:
+        rows10 = jnp.take(fields, binning.sorted_gid, axis=1)  # (10, E)
+        rows10 = jnp.where(binning.entry_valid[None, :], rows10, 0.0)
     e = rows10.shape[1]
     zeros = jnp.zeros((1, e), jnp.float32)
     packed = jnp.concatenate(
@@ -467,3 +516,31 @@ def _bin_pack_bwd(width, height, max_span, chunk, res, g):
 
 
 _bin_pack.defvjp(_bin_pack_fwd, _bin_pack_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def compact_nonempty_tiles(tile_start, tile_count, capacity: int):
+    """Compact the tile list to its non-empty rows (ascending tile id).
+
+    At 4K the head covers a fraction of the 32,400-tile canvas; blending
+    the empty background tiles costs grid steps and output bandwidth for
+    nothing. Returns (tile_ids (capacity,), start, count, num_overflow):
+    row i of the compacted arrays describes global tile tile_ids[i];
+    padding rows carry the sentinel id T (scatter-drop discards them) and
+    count 0. Ascending ids preserve the kernels' monotone window
+    schedule. Tiles beyond ``capacity`` are DROPPED and counted in
+    ``num_overflow`` — callers must surface it (no silent truncation,
+    SURVEY §7 hard part 2).
+    """
+    t = tile_count.shape[0]
+    nonempty = tile_count > 0
+    m = jnp.sum(nonempty.astype(jnp.int32))
+    # stable argsort on the "empty" flag keeps ascending tile ids in
+    # front; take the first `capacity` rows
+    order = jnp.argsort(jnp.logical_not(nonempty), stable=True)[:capacity]
+    valid = jnp.arange(capacity, dtype=jnp.int32) < m
+    tile_ids = jnp.where(valid, order.astype(jnp.int32), t)
+    start = jnp.where(valid, tile_start[order], 0)
+    count = jnp.where(valid, tile_count[order], 0)
+    overflow = jnp.maximum(m - capacity, 0)
+    return tile_ids, start, count, overflow

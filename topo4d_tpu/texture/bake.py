@@ -63,13 +63,15 @@ def _barycentric(px, py, x0, y0, x1, y1, x2, y2, eps=0.0):
 )
 def _bake_band(
     verts: jnp.ndarray,  # (V, 3) pixel-space uv coords + z
-    tris: jnp.ndarray,  # (F, 3) int32
+    tris: jnp.ndarray,  # (F, 3) int32 — this band's triangles only
     colors: jnp.ndarray,  # (V, C)
     y_offset: jnp.ndarray,  # () int32 band start row
     height: int,  # band height
     width: int,
     window: int,
     band: int,  # unused static tag for cache keying
+    tri_ids: jnp.ndarray | None = None,  # (F,) global ids (first-wins key)
+    tri_valid: jnp.ndarray | None = None,  # (F,) bool — False = pad slot
 ):
     f = tris.shape[0]
     c = colors.shape[1]
@@ -109,6 +111,8 @@ def _bake_band(
     # mixed-precision knife edge under a strict test) with u=w2, v=w1
     inside = (w2 >= 0) & (w1 >= 0) & (w1 + w2 <= 1.0)
     valid = in_bbox & in_canvas & inside
+    if tri_valid is not None:
+        valid = valid & tri_valid[:, None]
 
     depth = w0 * tz[:, 0:1] + w1 * tz[:, 1:2] + w2 * tz[:, 2:3]
     col = (
@@ -126,10 +130,13 @@ def _bake_band(
     depth_flat = jnp.where(valid, depth, neg_inf).reshape(-1)
     zbuf = jnp.full(npx + 1, neg_inf).at[flat_idx].max(depth_flat, mode="drop")
 
-    # pass 2: lowest triangle id among depth winners (first-wins rule)
-    tid = jnp.broadcast_to(
-        jnp.arange(f, dtype=jnp.int32)[:, None], pu.shape
-    ).reshape(-1)
+    # pass 2: lowest triangle id among depth winners (first-wins rule).
+    # GLOBAL ids when band-partitioned — the rule must match the full-
+    # list bake bitwise
+    ids = (
+        jnp.arange(f, dtype=jnp.int32) if tri_ids is None else tri_ids
+    )
+    tid = jnp.broadcast_to(ids[:, None], pu.shape).reshape(-1)
     is_winner = valid.reshape(-1) & (depth_flat >= zbuf[jnp.minimum(flat_idx, npx)])
     id_key = jnp.where(is_winner, tid, jnp.int32(2**31 - 1))
     win_id = (
@@ -149,6 +156,44 @@ def _bake_band(
     return img[:npx].reshape(height, width, c)
 
 
+def _band_partition(
+    uv_coords_px: np.ndarray,
+    tri_faces: np.ndarray,
+    height: int,
+    bands: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Bucket triangles by the row bands their bboxes touch (host side).
+
+    Without this every band rasterizes ALL F triangles — bands x
+    redundant work. Returns (ids (bands, cap), valid (bands, cap),
+    band_h) where ids[b] lists the GLOBAL triangle indices whose inner
+    bbox intersects band b, padded to the max per-band count (pad slots
+    valid=False). Ascending ids per band keep the first-triangle-wins
+    key identical to the full-list bake.
+    """
+    band_h = -(-height // bands)
+    ty = np.asarray(uv_coords_px)[:, 1][np.asarray(tri_faces)]
+    vmin = np.ceil(ty.min(1)).astype(np.int64)
+    vmax = np.floor(ty.max(1)).astype(np.int64)
+    b_lo = np.clip(vmin // band_h, 0, bands - 1)
+    b_hi = np.clip(vmax // band_h, 0, bands - 1)
+    keep = vmax >= vmin  # degenerate-bbox tris never touch a pixel row
+    counts = np.zeros(bands, np.int64)
+    per_band = []
+    f_idx = np.arange(tri_faces.shape[0])
+    for b in range(bands):
+        sel = f_idx[keep & (b_lo <= b) & (b <= b_hi)]
+        per_band.append(sel)
+        counts[b] = sel.size
+    cap = max(int(counts.max()), 1)
+    ids = np.zeros((bands, cap), np.int32)
+    valid = np.zeros((bands, cap), bool)
+    for b, sel in enumerate(per_band):
+        ids[b, : sel.size] = sel
+        valid[b, : sel.size] = True
+    return ids, valid, band_h
+
+
 def bake_texture(
     uv_coords_px: np.ndarray,  # (V, 3) from process_uv
     tri_faces: np.ndarray,  # (F, 3)
@@ -162,14 +207,18 @@ def bake_texture(
 
     ``window`` must cover the largest triangle bbox (checked; triangles
     larger than the window raise so nothing silently disappears).
+    Triangles are bucketed per row band first so each band only
+    rasterizes the triangles that touch it.
     """
     verts = jnp.asarray(uv_coords_px, jnp.float32)
-    tris = jnp.asarray(tri_faces, jnp.int32)
+    tris = np.asarray(tri_faces, np.int32)
     cols = jnp.asarray(colors, jnp.float32)
 
     _check_window(uv_coords_px, tri_faces, window)
+    ids, valid, band_h = _band_partition(
+        uv_coords_px, tri_faces, height, bands
+    )
 
-    band_h = -(-height // bands)
     out = np.zeros((height, width, colors.shape[1]), np.float32)
     for b in range(bands):
         y0 = b * band_h
@@ -177,8 +226,10 @@ def bake_texture(
         if h <= 0:
             break
         img = _bake_band(
-            verts, tris, cols, jnp.asarray(y0, jnp.int32), band_h, width,
-            window, 0,
+            verts, jnp.asarray(tris[ids[b]]), cols,
+            jnp.asarray(y0, jnp.int32), band_h, width, window, 0,
+            tri_ids=jnp.asarray(ids[b]),
+            tri_valid=jnp.asarray(valid[b]),
         )
         out[y0 : y0 + h] = np.asarray(img)[:h]
     return out
@@ -224,28 +275,43 @@ def bake_texture_sharded(
     n = int(np.prod(mesh.devices.shape))
     _check_window(uv_coords_px, tri_faces, window)
 
-    band_h = -(-height // bands)
+    ids, valid, band_h = _band_partition(
+        uv_coords_px, tri_faces, height, bands
+    )
     bands_pad = -(-bands // n) * n  # spare bands render empty rows
     y0s = (np.arange(bands_pad) * band_h).astype(np.int32)
+    if bands_pad != bands:
+        pad = bands_pad - bands
+        ids = np.concatenate([ids, np.zeros((pad, ids.shape[1]), np.int32)])
+        valid = np.concatenate(
+            [valid, np.zeros((pad, valid.shape[1]), bool)]
+        )
 
     verts = jnp.asarray(uv_coords_px, jnp.float32)
-    tris = jnp.asarray(tri_faces, jnp.int32)
+    tris_np = np.asarray(tri_faces, np.int32)
+    band_tris = jnp.asarray(tris_np[ids])  # (bands_pad, cap, 3)
     cols = jnp.asarray(colors, jnp.float32)
 
     @jax.jit
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P("band"), P(), P(), P()),
+        in_specs=(P("band"), P("band"), P("band"), P("band"), P(), P()),
         out_specs=P("band"),
     )
-    def run(y0s, verts, tris, cols):
+    def run(y0s, btris, bids, bvalid, verts, cols):
         return jax.lax.map(
-            lambda y0: _bake_band(
-                verts, tris, cols, y0, band_h, width, window, 0
+            lambda args: _bake_band(
+                verts, args[1], cols, args[0], band_h, width, window, 0,
+                tri_ids=args[2], tri_valid=args[3],
             ),
-            y0s,
+            (y0s, btris, bids, bvalid),
         )
 
-    imgs = np.asarray(run(jnp.asarray(y0s), verts, tris, cols))
+    imgs = np.asarray(
+        run(
+            jnp.asarray(y0s), band_tris, jnp.asarray(ids),
+            jnp.asarray(valid), verts, cols,
+        )
+    )
     return imgs.reshape(bands_pad * band_h, width, -1)[:height]

@@ -94,7 +94,7 @@ def _build_texture_step_impl(
             ),
         }
         total = sum(weights[k] * v for k, v in losses.items() if k in weights)
-        return total, (losses, out.radii, out.image)
+        return total, (losses, out.radii, out.image, out.num_overflow)
 
     def step_impl(
         state: TextureState,
@@ -112,7 +112,7 @@ def _build_texture_step_impl(
     ) -> Tuple[TextureState, Dict[str, jnp.ndarray]]:
         cam = cams[view_id]
         params = apply_constraints(state.params, pre_constraints)
-        (total, (losses, radii, im)), grads = jax.value_and_grad(
+        (total, (losses, radii, im, overflow)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(
             params, dense_means3d, gt, cam, anchor_colors, weights,
@@ -121,6 +121,9 @@ def _build_texture_step_impl(
         new_params, new_opt = adam_update(params, grads, state.opt, lr)
         metrics = {("loss_" + k): v for k, v in losses.items()}
         metrics["loss_total"] = total
+        # dropped-tile count under texture.tile_capacity (0 when off or
+        # sized right) — the trainer surfaces any non-zero value
+        metrics["num_tile_overflow"] = overflow
         if with_metrics:
             # PSNR at 4K costs a full-image pass; the reference reports it
             # only every dense_log_freq iterations (train.py:742)
