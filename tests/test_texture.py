@@ -277,3 +277,53 @@ def test_sharded_bake_matches_single_device():
     )
     single6 = bake_texture(verts, tris, colors, h, w, window=8, bands=6)
     np.testing.assert_array_equal(sharded6, single6)
+
+
+# ------------------------------------------------------ pallas z-buffer bake
+
+
+def test_pallas_bake_matches_xla_bake():
+    """Compact Pallas z-buffer kernel == banded XLA scatter bake.
+
+    Same oracle contract (bigger-z-wins, first-triangle ties, inclusive
+    edges); the Pallas path is the production 8K kernel.
+    """
+    from topo4d_tpu.texture.bake_pallas import bake_texture_pallas
+
+    h, w = 96, 80
+    verts, tris, colors = random_mesh(min(h, w), min(h, w), n_tris=60,
+                                      seed=11)
+    want = bake_texture(verts, tris, colors, h, w, window=8, bands=3)
+    got = bake_texture_pallas(verts, tris, colors, h, w, interpret=True)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_bake_tie_break_and_big_triangles():
+    from topo4d_tpu.texture.bake_pallas import bake_texture_pallas
+
+    # coplanar overlap: first triangle wins ties (off-grid coords)
+    verts = np.array(
+        [
+            [2.3, 2.3, 0], [20.3, 2.3, 0], [2.3, 20.3, 0],
+            [3.3, 3.3, 0], [21.3, 3.3, 0], [3.3, 21.3, 0],
+        ],
+        np.float32,
+    )
+    tris = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    colors = np.array(
+        [[1, 0, 0]] * 3 + [[0, 1, 0]] * 3, np.float32
+    )
+    want = numpy_render_colors(verts, tris, colors, 24, 24)
+    got = bake_texture_pallas(verts, tris, colors, 24, 24, interpret=True)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # triangles spanning many 16px tiles (no window limit)
+    verts2 = np.array(
+        [[1.2, 1.2, 0.5], [61.7, 2.1, 0.5], [2.4, 60.8, 0.5]], np.float32
+    )
+    tris2 = np.array([[0, 1, 2]], np.int32)
+    colors2 = np.tile(np.array([[0.2, 0.4, 0.8]], np.float32), (3, 1))
+    want2 = numpy_render_colors(verts2, tris2, colors2, 64, 64)
+    got2 = bake_texture_pallas(
+        verts2, tris2, colors2, 64, 64, interpret=True
+    )
+    np.testing.assert_allclose(got2, want2, rtol=1e-4, atol=1e-5)

@@ -175,6 +175,10 @@ class TextureConfig:
     density: int = 30
     bake_window: int = 16
     bake_bands: int = 8
+    # bake kernel: "pallas" (compact z-buffer kernel — the production 8K
+    # path), "xla" (banded scatter bake), or "auto" (pallas on
+    # accelerators, xla on CPU)
+    bake_backend: str = "auto"
     # dense-loop re-binning cadence (pallas backend): 0 = compute the
     # tile permutation once per (frame, view) — valid because dense
     # means3D are frozen within a frame (train.py:715-743) — any k>0 =

@@ -54,6 +54,8 @@ def save_mesh(
     gen_texture: bool = False,
     bake_window: int = 16,
     bake_bands: int = 8,
+    bake_backend: str = "auto",
+    interpret: bool = False,
 ) -> None:
     os.makedirs(out_dir, exist_ok=True)
     inv_g = np.linalg.inv(statics.trans_g)
@@ -83,6 +85,8 @@ def save_mesh(
             tex_res,
             bake_window,
             bake_bands,
+            bake_backend,
+            interpret,
         )
 
 
@@ -93,6 +97,8 @@ def write_texture(
     res: int,
     bake_window: int = 16,
     bake_bands: int = 8,
+    backend: str = "auto",
+    interpret: bool = False,
 ) -> None:
     """Bake dense Gaussian colors into the UV canvas and save a PNG.
 
@@ -112,15 +118,30 @@ def write_texture(
     ufaces = statics.dense.tri_uv_faces
     uv_colors[ufaces.reshape(-1)] = colors[vfaces.reshape(-1)]
     uv_px = process_uv(topo.dense_uvs.copy(), res, res)
-    img = bake_texture(
-        uv_px,
-        statics.dense.tri_uv_faces,
-        uv_colors,
-        res,
-        res,
-        window=bake_window,
-        bands=bake_bands,
+    import jax
+
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.devices()[0].platform not in ("cpu",)
     )
+    if use_pallas:
+        # production 8K path: compact Pallas z-buffer kernel (the XLA
+        # scatter bake measured ~55 s at 8192^2 / 555k tris on a v5e)
+        from topo4d_tpu.texture.bake_pallas import bake_texture_pallas
+
+        img = bake_texture_pallas(
+            uv_px, statics.dense.tri_uv_faces, uv_colors, res, res,
+            interpret=interpret,
+        )
+    else:
+        img = bake_texture(
+            uv_px,
+            statics.dense.tri_uv_faces,
+            uv_colors,
+            res,
+            res,
+            window=bake_window,
+            bands=bake_bands,
+        )
     from PIL import Image
 
     Image.fromarray((img * 255).astype(np.uint8)).save(path)

@@ -696,6 +696,8 @@ class Trainer:
                                 gen_texture=cfg.texture.gen_tex,
                                 bake_window=cfg.texture.bake_window,
                                 bake_bands=cfg.texture.bake_bands,
+                                bake_backend=cfg.texture.bake_backend,
+                                interpret=cfg.raster.interpret,
                             )
                     geo["frame_seconds"] = round(time.time() - t_start, 4)
                     self.metrics_log.append(
