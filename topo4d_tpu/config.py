@@ -137,6 +137,10 @@ class ScheduleConfig:
     # scan runs of identically-configured iterations into one device
     # program (semantics identical to per-iteration dispatch)
     use_scan: bool = True
+    # batched mode: render all views in ONE fused kernel launch on a
+    # virtual tall canvas instead of a sequential lax.map (single-device
+    # pallas only; exact — tested per-view parity)
+    fuse_views: bool = False
 
 
 @dataclasses.dataclass

@@ -12,7 +12,7 @@ semantic change (SURVEY §7 layer 6); the single-view parity mode lives in
 from __future__ import annotations
 
 import functools
-from typing import Callable, Dict, Sequence, Tuple
+from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +38,7 @@ def make_batched_geometry_step(
     sequential_views: bool = False,
     mesh=None,
     ring_indices=None,  # (N, K) — see opt.step.make_geometry_step
+    multiview_render_fn: Optional[Callable] = None,
 ) -> Callable:
     """Jitted all-views step. ``render_fn(rv, cam) -> RenderOutput``.
 
@@ -46,6 +47,11 @@ def make_batched_geometry_step(
     the camera arrays over the ``view`` mesh axis to distribute), averages
     the photometric loss over views, adds the topological terms once, and
     applies Adam + constraints. Metrics include the mean PSNR over views.
+
+    ``multiview_render_fn(rv, cams) -> RenderOutput`` (batched leaves):
+    when given (single-device pallas), ALL views render in one fused
+    kernel launch (``render_gaussians_pallas_multiview``) instead of a
+    sequential lax.map — same math, one grid.
     """
 
     if mesh is not None:
@@ -61,6 +67,18 @@ def make_batched_geometry_step(
             # the Pallas kernels), loss psums over the 'view' axis
             loss, mean_psnr, max_radii = sharded_loss(rv, *args)
             return loss, mean_psnr, max_radii
+
+        if multiview_render_fn is not None:
+            out = multiview_render_fn(rv, cams)  # batched (V, ...) leaves
+            cam_m = params["cam_m"][:v][:, :, None, None]
+            cam_c = params["cam_c"][:v][:, :, None, None]
+            im = jnp.exp(cam_m) * out.image + cam_c
+            losses = jax.vmap(photometric_loss)(im, images)
+            psnrs = jax.vmap(lambda a, b: jnp.mean(psnr(a, b)))(im, images)
+            return (
+                jnp.mean(losses), jnp.mean(psnrs),
+                jnp.max(out.radii, axis=0),
+            )
 
         def one_view(gt, cam, cam_m, cam_c):
             out = render_fn(rv, cam)

@@ -159,11 +159,29 @@ class Trainer:
             while n > 1 and v % n != 0:
                 n -= 1
             self.mesh = make_view_mesh(n) if n > 1 else None
+        # single-device pallas: fuse all views into ONE blend launch on a
+        # virtual tall canvas instead of lax.map-ing V sequential renders
+        multiview_fn = None
+        if (
+            cfg.schedule.fuse_views
+            and cfg.raster.backend == "pallas"
+            and self.mesh is None
+        ):
+            from topo4d_tpu.rasterizer.pallas import (
+                render_gaussians_pallas_multiview,
+            )
+
+            bg = jnp.asarray(cfg.raster.bg, jnp.float32)
+            multiview_fn = lambda rv, cams: render_gaussians_pallas_multiview(
+                rv, cams, bg=bg, max_span=cfg.raster.max_span,
+                chunk=cfg.raster.chunk, interpret=cfg.raster.interpret,
+            )
         self.batched_step = make_batched_geometry_step(
             statics.quadruples, statics.umbrellas, self.render_fn,
             sequential_views=(cfg.raster.backend == "pallas"),
             mesh=self.mesh,
             ring_indices=statics.ring.indices,
+            multiview_render_fn=multiview_fn,
         )
 
         params = {k: jnp.asarray(v) for k, v in params_np.items()}

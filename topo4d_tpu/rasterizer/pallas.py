@@ -19,9 +19,9 @@ from topo4d_tpu.core.gaussian import GaussianRenderVars, project_gaussians
 from topo4d_tpu.rasterizer.pallas_blend import PX, pallas_blend
 from topo4d_tpu.rasterizer.tiled import TiledRenderOutput
 from topo4d_tpu.rasterizer.tiles import (
+    PACK_FIELDS,
     TILE,
     Binning,
-
     compact_nonempty_tiles,
     compute_binning,
     num_tiles,
@@ -162,6 +162,155 @@ def render_gaussians_pallas(
         num_cropped=ncrop,
         # packed binning never drops entries; compact mode may drop
         # whole tiles past the capacity (counted here)
+        num_overflow=tile_overflow,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "max_span", "chunk", "interpret", "variant",
+        "tile_capacity",
+    ),
+)
+def _render_pallas_multiview_impl(
+    proj_v,
+    colors,
+    opacities,
+    bg,
+    width: int,
+    height: int,
+    max_span: int,
+    chunk: int,
+    interpret: bool,
+    binning_v=None,
+    variant: str = "auto",
+    tile_capacity: Optional[int] = None,
+):
+    v = proj_v.means2d.shape[0]
+    tiles_x, tiles_y = num_tiles(width, height)
+    t = tiles_x * tiles_y
+    if binning_v is None:
+        # batched duplicate-and-sort: one lax.sort over a (V, E) batch is
+        # far cheaper than V sequential sorts (the sort network amortizes
+        # across the batch axis), and each view keeps the fused int32 key
+        binning_v = jax.vmap(
+            lambda p: compute_binning(p, width, height, max_span)
+        )(jax.lax.stop_gradient(proj_v))
+    bins = jax.vmap(
+        lambda p, b: pack_with_binning(p, colors, opacities, b, chunk)
+    )(proj_v, binning_v)
+    e_pad = bins.packed.shape[2]
+
+    # virtual tall canvas: view v's tiles are rows [v*tiles_y, (v+1)*tiles_y)
+    # of a (V*tiles_y, tiles_x) tile grid. Offsetting each view's pixel-y
+    # and tile-id fields and concatenating the per-view entry arrays turns
+    # V renders into ONE blend launch; views never share tiles, so per-view
+    # outputs match the single-view renderer exactly. Entry offsets are
+    # chunk-aligned (each view's packed tail pad is >= chunk), so boundary
+    # DMA windows never cross a view boundary into misaligned data.
+    voff_e = jnp.arange(v, dtype=jnp.int32)[:, None] * e_pad
+    tile_start = (bins.tile_start + voff_e).reshape(-1)
+    tile_count = bins.tile_count.reshape(-1)
+
+    tile_row = bins.packed[:, 6:7, :]
+    voff_t = (jnp.arange(v, dtype=jnp.float32) * t)[:, None, None]
+    # valid tiles [0, t) -> global id; the per-view invalid sentinel t
+    # remaps to -2.0 (matches no tile id, distinct from the -1.0 pad)
+    tile_row = jnp.where(
+        tile_row >= float(t),
+        -2.0,
+        jnp.where(tile_row >= 0.0, tile_row + voff_t, tile_row),
+    )
+    y_off = jnp.arange(v, dtype=jnp.float32) * float(tiles_y * TILE)
+    packed = jnp.concatenate(
+        [
+            bins.packed[:, 0:1, :],
+            bins.packed[:, 1:2, :] + y_off[:, None, None],
+            bins.packed[:, 2:6, :],
+            tile_row,
+            bins.packed[:, 7:, :],
+        ],
+        axis=1,
+    )
+    packed = packed.transpose(1, 0, 2).reshape(PACK_FIELDS, v * e_pad)
+
+    t_all = v * t
+    tile_overflow = jnp.zeros((), jnp.int32)
+    if tile_capacity is not None and tile_capacity < t_all:
+        ids, cstart, ccount, tile_overflow = compact_nonempty_tiles(
+            tile_start, tile_count, tile_capacity
+        )
+        out_c = pallas_blend(
+            packed, cstart, ccount, tiles_x, v * tiles_y, chunk,
+            interpret, num_tiles=tile_capacity, variant=variant,
+            tile_map=ids,
+        )  # (capacity, 8, PX)
+        template = jnp.zeros((t_all, 8, PX), jnp.float32).at[:, 4, :].set(1.0)
+        out = template.at[ids].set(out_c, mode="drop")
+    else:
+        out = pallas_blend(
+            packed, tile_start, tile_count, tiles_x, v * tiles_y, chunk,
+            interpret, variant=variant,
+        )  # (V*T, 8, PX)
+    out = out.reshape(v, t, 8, PX)
+
+    rgb_tiles = out[:, :, 0:3, :] + out[:, :, 4:5, :] * bg[None, None, :, None]
+    depth_tiles = out[:, :, 3:4, :]
+    alpha_tiles = 1.0 - out[:, :, 4:5, :]
+
+    def untile(x):
+        """(V, T, C, PX) -> (V, C, H, W)."""
+        c = x.shape[2]
+        x = x.reshape(v, tiles_y, tiles_x, c, TILE, TILE)
+        x = x.transpose(0, 3, 1, 4, 2, 5).reshape(
+            v, c, tiles_y * TILE, tiles_x * TILE
+        )
+        return x[:, :, :height, :width]
+
+    return (
+        untile(rgb_tiles), untile(depth_tiles), untile(alpha_tiles),
+        jnp.sum(bins.num_cropped), tile_overflow,
+    )
+
+
+def render_gaussians_pallas_multiview(
+    rv: GaussianRenderVars,
+    cams: Camera,
+    bg: Optional[jnp.ndarray] = None,
+    max_span: int = 4,
+    chunk: int = 128,
+    interpret: bool = False,
+    variant: str = "auto",
+    tile_capacity: Optional[int] = None,
+) -> TiledRenderOutput:
+    """ALL views of a batched camera rendered in ONE blend kernel launch.
+
+    The batched all-views train step (reference semantics: one random view
+    per step, train.py:105-112; our validated summed-gradient mode) would
+    otherwise lax.map V sequential single-view renders — the Pallas kernels
+    have no vmap rule. Stacking the views on a virtual tall canvas instead
+    gives the blend a V*T-tile grid in one launch: per-launch overheads
+    amortize V-fold and the binning sort runs as one (V, E) batched sort.
+    Outputs carry a leading view axis; per-view results are exactly those
+    of ``render_gaussians_pallas`` (tested).
+
+    ``tile_capacity``: blend at most this many NON-EMPTY tiles across all
+    views (compact mode; overflow counted in ``num_overflow``).
+    """
+    if bg is None:
+        bg = jnp.zeros(3, dtype=jnp.float32)
+    proj_v = jax.vmap(lambda c: project_gaussians(rv, c))(cams)
+    image, depth, alpha, ncrop, tile_overflow = _render_pallas_multiview_impl(
+        proj_v, rv.colors, rv.opacities, bg, cams.width, cams.height,
+        max_span, chunk, interpret, None, variant, tile_capacity,
+    )
+    return TiledRenderOutput(
+        image=image,
+        radii=proj_v.radii,
+        depth=depth,
+        alpha=alpha,
+        num_cropped=ncrop,
         num_overflow=tile_overflow,
     )
 

@@ -939,11 +939,11 @@ def _blend_bwd_impl(
       zeros)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 8, 9, 11))
 def pallas_blend(
     packed, tile_start, tile_count, tiles_x, tiles_y, chunk,
     interpret=False, tile_offset=None, num_tiles=None, variant="auto",
-    tile_map=None,
+    tile_map=None, tps=None,
 ):
     """Blend depth-sorted packed entries -> (T, 8, PX) tile buffers.
 
@@ -960,31 +960,31 @@ def pallas_blend(
     """
     return _blend_fwd_impl(
         packed, tile_start, tile_count, tiles_x, tiles_y, chunk, interpret,
-        tile_offset=tile_offset, num_tiles=num_tiles, variant=variant,
-        tile_map=tile_map,
+        tps=tps, tile_offset=tile_offset, num_tiles=num_tiles,
+        variant=variant, tile_map=tile_map,
     )
 
 
 def _pallas_blend_fwd(
     packed, tile_start, tile_count, tiles_x, tiles_y, chunk,
     interpret=False, tile_offset=None, num_tiles=None, variant="auto",
-    tile_map=None,
+    tile_map=None, tps=None,
 ):
     out = _blend_fwd_impl(
         packed, tile_start, tile_count, tiles_x, tiles_y, chunk, interpret,
-        tile_offset=tile_offset, num_tiles=num_tiles, variant=variant,
-        tile_map=tile_map,
+        tps=tps, tile_offset=tile_offset, num_tiles=num_tiles,
+        variant=variant, tile_map=tile_map,
     )
     return out, (packed, tile_start, tile_count, out, tile_offset, tile_map)
 
 
 def _pallas_blend_bwd(tiles_x, tiles_y, chunk, interpret, num_tiles,
-                      variant, res, g_out):
+                      variant, tps, res, g_out):
     packed, tile_start, tile_count, fwd_out, tile_offset, tile_map = res
     dpacked = _blend_bwd_impl(
         packed, tile_start, tile_count, fwd_out, g_out, tiles_x, tiles_y,
-        chunk, interpret, tile_offset=tile_offset, num_tiles=num_tiles,
-        variant=variant, tile_map=tile_map,
+        chunk, interpret, tps=tps, tile_offset=tile_offset,
+        num_tiles=num_tiles, variant=variant, tile_map=tile_map,
     )
     return (dpacked, None, None, None, None)
 
