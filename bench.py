@@ -12,7 +12,10 @@ fields measured so far):
    reference's geometry-phase scale (8,280 Gaussians, 512x375, 24 views)
    plus the FULL jitted tracking step (render + photometric + temporal +
    flatten losses + Adam + constraint scatters) at the 1,100-iteration
-   schedule -> sec_per_frame_1100it; vs_baseline = 5 s / that.
+   schedule -> sec_per_frame_1100it, AND the batched all-views step
+   (validated optimizer, tests/test_batched_parity.py) at the same
+   1,100-render budget -> batched_sec_per_frame_1100renders;
+   vs_baseline = 5 s / best validated mode (headline_mode says which).
 2. dense texture: the 4K / ~300k-Gaussian texture iteration
    (frozen binning + compact non-empty tiles) -> tex_step_ms,
    tex_sec_per_frame_301it (reference train.py:381-417, 715-743).
@@ -185,7 +188,38 @@ def _bench_full_step() -> float:
     l2 = run_log(30)
     dt_log = (l2 - l1) / 25.0
     n_logged = 3  # iterations 0, 500, 1000 of 1100 at log_freq=500
-    return dt_nolog + max(dt_log - dt_nolog, 0.0) * n_logged / 1100.0
+    parity_dt = dt_nolog + max(dt_log - dt_nolog, 0.0) * n_logged / 1100.0
+
+    # batched all-views mode: one step renders all 24 views and pays the
+    # topological losses + Adam + constraints once; validated as an
+    # optimizer by tests/test_batched_parity.py (final loss within
+    # tolerance of single-view parity mode at the SAME 1,100-render
+    # budget, i.e. ceil(1100/24)=46 steps)
+    if _elapsed() + 120.0 < BUDGET_S:
+        bstate, bpriors = trainer.state, trainer.priors
+
+        def run_batched(iters):
+            nonlocal bstate, bpriors
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                bstate, bpriors, m = trainer.batched_step(
+                    bstate, images, cams, bpriors, cons, lr, weights,
+                    "track",
+                )
+            jax.block_until_ready(m["loss_total"])
+            return time.perf_counter() - t0
+
+        run_batched(1)
+        run_batched(4)
+        _note("batched step compiled")
+        b1 = min(run_batched(2) for _ in range(3))
+        b2 = min(run_batched(10) for _ in range(3))
+        bdt = (b2 - b1) / 8.0
+        nb = -(-1100 // 24)
+        RESULT["batched_step_ms"] = round(bdt * 1e3, 3)
+        RESULT["batched_sec_per_frame_1100renders"] = round(bdt * nb, 3)
+        _note(f"batched step timed: {bdt * 1e3:.1f} ms")
+    return parity_dt
 
 
 def _bench_dense_texture() -> None:
@@ -426,10 +460,22 @@ def main() -> None:
     sec_per_frame = full_dt * 1100
     target = 5.0
 
+    # headline sec/frame: the best VALIDATED mode at the reference's
+    # 1,100-render budget — batched all-views when measured (final-loss
+    # parity pinned by tests/test_batched_parity.py), else single-view
+    best_spf = sec_per_frame
+    headline = "single_view_parity"
+    if "batched_sec_per_frame_1100renders" in RESULT:
+        b = RESULT["batched_sec_per_frame_1100renders"]
+        if b < best_spf:
+            best_spf = b
+            headline = "batched_all_views"
+
     stats = render(rv0)
     RESULT.update({
         "value": round(mpix_s, 2),
-        "vs_baseline": round(target / sec_per_frame, 3),
+        "vs_baseline": round(target / best_spf, 3),
+        "headline_mode": headline,
         "render_step_ms": round(step_s * 1e3, 3),
         "full_step_ms": round(full_dt * 1e3, 3),
         "sec_per_frame_1100it": round(sec_per_frame, 3),

@@ -299,6 +299,44 @@ def test_variant_parity_resident_vs_stream(scene):
         )
 
 
+def test_variant_parity_v3_vs_stream(scene):
+    """The unified window-span v3 kernels agree with the v1 streaming path.
+
+    Same CUDA blend contract (SURVEY N1); v3 walks the union of each
+    grid step's tile windows once with all tiles' pixel rows batched
+    (collective early termination — see _fwd_kernel_v3). max_span=8
+    exercises multi-window spans, the prefetch drain, and per-tile
+    window-count residuals that differ from v1's per-tile walk.
+    """
+    params, _, cam = scene
+    bg = jnp.asarray([0.15, 0.25, 0.35])
+    rng = np.random.default_rng(3)
+    target = jnp.asarray(
+        rng.uniform(0, 1, (3, cam.height, cam.width)).astype(np.float32)
+    )
+
+    def loss(params, variant):
+        out = render_gaussians_pallas(
+            activate_params(params), cam, bg=bg, max_span=8, chunk=128,
+            interpret=True, variant=variant,
+        )
+        return (
+            jnp.mean(jnp.abs(out.image - target))
+            + 0.05 * jnp.mean(out.alpha)
+            + 0.02 * jnp.mean(out.depth)
+        )
+
+    v2, g2 = jax.value_and_grad(lambda p: loss(p, "v3"))(params)
+    v1, g1 = jax.value_and_grad(lambda p: loss(p, "stream"))(params)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-6)
+    for k in g1:
+        a, b = np.asarray(g1[k]), np.asarray(g2[k])
+        scale = np.maximum(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(
+            b / scale, a / scale, rtol=1e-3, atol=2e-5, err_msg=k
+        )
+
+
 def test_tile_capacity_compact_matches_full(scene):
     """Compact non-empty-tile mode == full-grid render: pixels + grads.
 

@@ -33,7 +33,7 @@ from topo4d_tpu.rasterizer.tiles import (
     jax.jit,
     static_argnames=(
         "width", "height", "max_span", "chunk", "interpret", "variant",
-        "tile_capacity",
+        "tile_capacity", "tps",
     ),
 )
 def _render_pallas_impl(
@@ -49,6 +49,7 @@ def _render_pallas_impl(
     binning: Optional[Binning] = None,
     variant: str = "auto",
     tile_capacity: Optional[int] = None,
+    tps: Optional[int] = None,
 ):
     if binning is None:
         # fresh binning per call, but through the SAME compute+pack pair
@@ -74,7 +75,7 @@ def _render_pallas_impl(
         out_c = pallas_blend(
             bins.packed, cstart, ccount, tiles_x, tiles_y, chunk,
             interpret, num_tiles=tile_capacity, variant=variant,
-            tile_map=ids,
+            tile_map=ids, tps=tps,
         )  # (capacity, 8, PX)
         template = jnp.zeros((t, 8, PX), jnp.float32).at[:, 4, :].set(1.0)
         out = template.at[ids].set(out_c, mode="drop")
@@ -88,6 +89,7 @@ def _render_pallas_impl(
             chunk,
             interpret,
             variant=variant,
+            tps=tps,
         )  # (T, 8, PX)
 
     rgb_tiles = out[:, 0:3, :] + out[:, 4:5, :] * bg[None, :, None]
@@ -118,6 +120,7 @@ def render_gaussians_pallas(
     binning: Optional[Binning] = None,
     variant: str = "auto",
     tile_capacity: Optional[int] = None,
+    tps: Optional[int] = None,
 ) -> TiledRenderOutput:
     """Drop-in Pallas renderer matching the oracle contract.
 
@@ -153,6 +156,7 @@ def render_gaussians_pallas(
         binning,
         variant,
         tile_capacity,
+        tps,
     )
     return TiledRenderOutput(
         image=image,

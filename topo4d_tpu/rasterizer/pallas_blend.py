@@ -411,6 +411,299 @@ def _fwd_general(
 
 
 
+def _fwd_kernel_v3(tiles_x: int, chunk: int, tiles_per_step: int):
+    """Unified window-span forward: one batched loop per grid step.
+
+    v1 walks each tile's windows in its own while-loop (a serial
+    dependency chain per tile; the batched fast path only fires when all
+    tiles share ONE window). Measured on the v5e the kernel is
+    LATENCY-bound on those serial iterations — cutting VPU cells 4x (the
+    v2 sublane kernel) made it slower, widening tiles_per_step didn't
+    help, DMA and grid-step overhead were already ruled out
+    (docs/PERFORMANCE.md). v3 therefore walks the UNION of the step's
+    tile windows once, with all tiles' pixel rows batched into every
+    window visit: rows of tiles without entries in the visited window
+    no-op exactly (foreign-entry masking -> alpha 0 -> log1m 0), so the
+    math is identical to v1 while the serial chain shrinks ~3x (span of
+    ~23-entry tiles ~ 1-2 windows vs 4 per-tile walks).
+
+    Early termination is COLLECTIVE (all rows' transmittance below the
+    CUDA 1e-4 threshold). The per-tile window-count residual (out row 5)
+    becomes clamp(w_stop - first_t, 0, k_t): every window the step
+    processed counts as processed for every tile it spans, which keeps
+    the log-transmittance residual and the backward's per-tile window
+    limit mutually consistent (windows a tile "rode along" for
+    contribute exactly zero to both).
+    """
+
+    def kernel(tmap_ref, start_ref, count_ref, packed_hbm, out_ref, buf,
+               scal, sem):
+        step = pl.program_id(0)
+        u_prefix, _ = _tri_masks(chunk)
+
+        @pl.when(step == 0)
+        def _():
+            scal[0] = -1
+            scal[1] = 0
+
+        i0 = step * tiles_per_step
+        firsts = []
+        lasts = []
+        ks = []
+        for t_off in range(tiles_per_step):
+            f_t, k_t = _window_bounds(
+                start_ref[i0 + t_off], count_ref[i0 + t_off], chunk
+            )
+            firsts.append(f_t)
+            lasts.append(f_t + k_t)
+            ks.append(k_t)
+        # union span over non-empty tiles
+        big = jnp.int32(2**30)
+        w_lo = big
+        w_hi = jnp.int32(0)
+        for t_off in range(tiles_per_step):
+            ne = ks[t_off] > 0
+            w_lo = jnp.where(ne, jnp.minimum(w_lo, firsts[t_off]), w_lo)
+            w_hi = jnp.where(ne, jnp.maximum(w_hi, lasts[t_off]), w_hi)
+        span = jnp.maximum(w_hi - jnp.minimum(w_lo, w_hi), 0)
+
+        px, py, tile_f = _pixel_coords_batch(
+            [tmap_ref[i0 + t] for t in range(tiles_per_step)], tiles_x
+        )
+        bpx = tiles_per_step * PX
+
+        hit = jnp.logical_and(span > 0, scal[0] == w_lo)
+        base = jnp.where(hit, scal[1], 0)
+
+        def get_dma(slot, c):
+            off = pl.multiple_of((w_lo + c) * chunk, chunk)
+            return pltpu.make_async_copy(
+                packed_hbm.at[:, pl.ds(off, chunk)],
+                buf.at[slot],
+                sem.at[slot],
+            )
+
+        @pl.when(jnp.logical_and(span > 0, jnp.logical_not(hit)))
+        def _():
+            get_dma(base, 0).start()
+
+        ones = jnp.ones((bpx, 1), jnp.float32)
+        acc0 = jnp.zeros((bpx, 8), jnp.float32)
+        zeros1 = jnp.zeros((bpx, 1), jnp.float32)
+
+        def cond(state):
+            c, t_un, t_fr, acc, log_t = state
+            return jnp.logical_and(
+                c < span, jnp.max(t_un) >= TRANSMITTANCE_MIN
+            )
+
+        def body(state):
+            c, t_un, t_fr, acc, log_t = state
+            slot = jax.lax.rem(c + base, 2)
+
+            @pl.when(c + 1 < span)
+            def _():
+                get_dma(1 - slot, c + 1).start()
+
+            @pl.when(jnp.logical_or(c > 0, jnp.logical_not(hit)))
+            def _():
+                get_dma(slot, c).wait()
+            t_un, w_fr, acc, s_total = _fwd_window(
+                buf[slot], px, py, tile_f, u_prefix, t_un, acc, chunk
+            )
+            return (
+                c + 1, t_un, jnp.minimum(t_fr, w_fr), acc,
+                log_t + s_total,
+            )
+
+        c_end, t_un, t_fr, acc, log_t = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), ones, ones, acc0, zeros1)
+        )
+
+        # drain the in-flight prefetch left by early termination
+        @pl.when(jnp.logical_and(c_end < span, c_end > 0))
+        def _():
+            get_dma(jax.lax.rem(c_end + base, 2), c_end).wait()
+
+        @pl.when(span > 0)
+        def _():
+            last_c = jnp.where(c_end < span, c_end, span - 1)
+            scal[0] = w_lo + last_c
+            scal[1] = jax.lax.rem(last_c + base, 2)
+
+        # per-tile processed-window residual (see docstring)
+        w_stop = w_lo + c_end
+        row = jax.lax.broadcasted_iota(jnp.int32, (bpx, 1), 0)
+        t_of_row = row // PX
+        c_end_col = jnp.zeros((bpx, 1), jnp.float32)
+        for t_off in range(tiles_per_step):
+            ct = jnp.clip(w_stop - firsts[t_off], 0, ks[t_off])
+            c_end_col = jnp.where(
+                t_of_row == t_off, ct.astype(jnp.float32), c_end_col
+            )
+        out = jnp.concatenate(
+            [acc[:, 0:4], t_fr, c_end_col, log_t, zeros1], axis=1
+        )  # (bpx, 8)
+        out_ref[...] = out.reshape(
+            tiles_per_step, PX, 8
+        ).transpose(0, 2, 1)
+
+    return kernel
+
+
+def _bwd_kernel_v3(tiles_x: int, chunk: int, tiles_per_step: int):
+    """Unified window-span backward: tiles descending, batched rows.
+
+    Mirrors _fwd_kernel_v3: one reverse window loop per grid step over
+    the union of the step's per-tile processed spans (first_t .. first_t
+    + min(k_t, cend_t)), all tiles' rows batched into each visit via the
+    per-entry tile origins of _bwd_window_grads. The forward's collective
+    termination guarantees every visited window is, for each tile, either
+    inside its processed range or past its entries entirely — so no row
+    masking is needed beyond the existing foreign-entry tile match.
+    Gradient accumulation/flush (one HBM write per window) is unchanged.
+    """
+
+    def kernel(
+        tmap_ref, start_ref, count_ref, cend_ref, packed_hbm, g_ref,
+        fwd_ref, zeros_hbm, dpacked_hbm, buf, accbuf, flushbuf, scal,
+        sem, wsem,
+    ):
+        del zeros_hbm
+        step = pl.program_id(0)
+        nsteps = pl.num_programs(0)
+        u_prefix, l_suffix = _tri_masks(chunk)
+        basis = _moment_basis()
+
+        @pl.when(step == 0)
+        def _():
+            scal[0] = -1
+            scal[1] = 0
+            scal[2] = -1
+            scal[3] = 0
+            scal[4] = 0
+
+        def flush_dma(w):
+            off = pl.multiple_of(w * chunk, chunk)
+            return pltpu.make_async_copy(
+                flushbuf,
+                dpacked_hbm.at[:, pl.ds(off, chunk)],
+                wsem,
+            )
+
+        def acc_window(dout, w_glob):
+            switch = w_glob != scal[2]
+
+            @pl.when(switch)
+            def _():
+                @pl.when(scal[3] == 1)
+                def _():
+                    flush_dma(scal[4]).wait()
+
+                @pl.when(scal[2] >= 0)
+                def _():
+                    flushbuf[...] = accbuf[...]
+                    flush_dma(scal[2]).start()
+                    scal[4] = scal[2]
+                    scal[3] = 1
+
+                accbuf[...] = dout
+                scal[2] = w_glob
+
+            @pl.when(jnp.logical_not(switch))
+            def _():
+                accbuf[...] = accbuf[...] + dout
+
+        i0 = (nsteps - 1 - step) * tiles_per_step
+        firsts = []
+        lasts = []
+        for t_off in range(tiles_per_step):
+            f_t, k_t = _window_bounds(
+                start_ref[i0 + t_off], count_ref[i0 + t_off], chunk
+            )
+            k_t = jnp.minimum(k_t, cend_ref[i0 + t_off])
+            firsts.append(f_t)
+            lasts.append(f_t + k_t)
+        big = jnp.int32(2**30)
+        w_lo = big
+        w_hi = jnp.int32(0)
+        for t_off in range(tiles_per_step):
+            ne = lasts[t_off] > firsts[t_off]
+            w_lo = jnp.where(ne, jnp.minimum(w_lo, firsts[t_off]), w_lo)
+            w_hi = jnp.where(ne, jnp.maximum(w_hi, lasts[t_off]), w_hi)
+        span = jnp.maximum(w_hi - jnp.minimum(w_lo, w_hi), 0)
+
+        px, py, tile_f = _pixel_coords_batch(
+            [tmap_ref[i0 + t] for t in range(tiles_per_step)], tiles_x
+        )
+        bpx = tiles_per_step * PX
+        g_all = g_ref[...]  # (tps, 8, PX)
+        fwd_all = fwd_ref[...]
+        g8_b = g_all.transpose(0, 2, 1).reshape(bpx, 8)
+        fwd8_b = fwd_all.transpose(0, 2, 1).reshape(bpx, 8)
+        gt_final = g8_b[:, 4:5] * fwd8_b[:, 4:5]
+        log_seed = fwd8_b[:, 6:7]
+        basis_b = jnp.concatenate([basis] * tiles_per_step, axis=0)
+
+        # descending sweep: a hit means the previous step's last window
+        # (its w_lo) IS this step's highest window
+        hit = jnp.logical_and(span > 0, scal[0] == w_hi - 1)
+        base = jnp.where(hit, scal[1], 0)
+
+        def get_dma(slot, c):
+            # c counts from the TOP: window w_hi - 1 - c
+            off = pl.multiple_of((w_hi - 1 - c) * chunk, chunk)
+            return pltpu.make_async_copy(
+                packed_hbm.at[:, pl.ds(off, chunk)],
+                buf.at[slot],
+                sem.at[slot],
+            )
+
+        @pl.when(jnp.logical_and(span > 0, jnp.logical_not(hit)))
+        def _():
+            get_dma(base, 0).start()
+
+        def rbody(j, carry):
+            suf, log_t = carry
+            slot = jax.lax.rem(j + base, 2)
+
+            @pl.when(j + 1 < span)
+            def _():
+                get_dma(1 - slot, j + 1).start()
+
+            @pl.when(jnp.logical_or(j > 0, jnp.logical_not(hit)))
+            def _():
+                get_dma(slot, j).wait()
+            dout, suf, log_t = _bwd_window_grads(
+                buf[slot], px, py, tile_f, tiles_x, g8_b, gt_final,
+                log_t, suf, u_prefix, l_suffix, basis_b, chunk,
+            )
+            acc_window(dout, w_hi - 1 - j)
+            return (suf, log_t)
+
+        zeros1 = jnp.zeros((bpx, 1), jnp.float32)
+
+        @pl.when(span > 0)
+        def _():
+            jax.lax.fori_loop(0, span, rbody, (zeros1, log_seed))
+            scal[0] = w_lo
+            scal[1] = jax.lax.rem(span - 1 + base, 2)
+
+        @pl.when(step == nsteps - 1)
+        def _():
+            @pl.when(scal[3] == 1)
+            def _():
+                flush_dma(scal[4]).wait()
+
+            @pl.when(scal[2] >= 0)
+            def _():
+                flushbuf[...] = accbuf[...]
+                flush_dma(scal[2]).start()
+                flush_dma(scal[2]).wait()
+
+    return kernel
+
+
 def _build_tile_map(
     tile_map, tile_offset, t, pad_t, tiles_x, tiles_y
 ):
@@ -448,7 +741,10 @@ def _blend_fwd_impl(
     tps=None, tile_offset=None, num_tiles=None, variant="auto",
     tile_map=None,
 ):
-    if num_tiles is None and tile_map is None and variant != "stream":
+    if (
+        num_tiles is None and tile_map is None
+        and variant not in ("stream", "v3")
+    ):
         # small entry arrays: the DMA-free VMEM-resident kernel
         from topo4d_tpu.rasterizer.pallas_resident import (
             blend_fwd_resident,
@@ -490,8 +786,9 @@ def _blend_fwd_impl(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    kfn = _fwd_kernel_v3 if variant == "v3" else _fwd_kernel
     out = pl.pallas_call(
-        _fwd_kernel(tiles_x, chunk, tps),
+        kfn(tiles_x, chunk, tps),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((pad_t, 8, PX), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -869,7 +1166,10 @@ def _blend_bwd_impl(
     interpret=False, tps=None, tile_offset=None, num_tiles=None,
     variant="auto", tile_map=None,
 ):
-    if num_tiles is None and tile_map is None and variant != "stream":
+    if (
+        num_tiles is None and tile_map is None
+        and variant not in ("stream", "v3")
+    ):
         from topo4d_tpu.rasterizer.pallas_resident import (
             blend_bwd_resident,
             fits_resident,
@@ -925,8 +1225,9 @@ def _blend_bwd_impl(
         ],
     )
     zeros = jnp.zeros((PACK_FIELDS, e_pad), jnp.float32)
+    kfn = _bwd_kernel_v3 if variant == "v3" else _bwd_kernel
     return pl.pallas_call(
-        _bwd_kernel(tiles_x, chunk, tps),
+        kfn(tiles_x, chunk, tps),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((PACK_FIELDS, e_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
