@@ -347,6 +347,66 @@ def test_batched_mode_trains_full_schedule(tmp_path):
     assert np.isfinite(last["loss_total"])
 
 
+def test_batched_scanned_segments_with_frozen_binnings(
+    tmp_path, monkeypatch
+):
+    """views_per_step=0 + use_scan + track_rebin_freq drives the scanned
+    batched multi-step with per-segment frozen binnings through the full
+    trainer (init + track phases). Single-device path: the view mesh is
+    disabled (the test env exposes 8 virtual CPU devices)."""
+    import topo4d_tpu.parallel.mesh as pmesh
+
+    monkeypatch.setattr(pmesh, "make_view_mesh", lambda n: None)
+
+    rows = cols = 8
+    verts, faces = make_grid_mesh(rows, cols, extent=0.5)
+    n = verts.shape[0]
+    uvs = np.stack(
+        np.meshgrid(
+            np.linspace(0.05, 0.95, cols), np.linspace(0.05, 0.95, rows),
+            indexing="xy",
+        ),
+        -1,
+    ).reshape(-1, 2).astype(np.float32)
+    mesh = MeshObj(
+        vertices=verts, uvs=uvs, faces=faces,
+        uv_faces=[list(f) for f in faces],
+    )
+    regions = make_synthetic_regions(n, faces)
+
+    cfg = Config()
+    cfg.data.output_dir = str(tmp_path / "out")
+    cfg.data.use_mask = False
+    cfg.schedule.frame_num = 2
+    cfg.schedule.init_opt_num = 9
+    cfg.schedule.opt_num = 6
+    cfg.schedule.polish_iters = 1
+    cfg.schedule.log_freq = 4
+    cfg.schedule.ckp_freq = 1
+    cfg.schedule.views_per_step = 0
+    cfg.raster.backend = "pallas"
+    cfg.raster.interpret = True
+    cfg.raster.track_rebin_freq = 2
+    cfg.texture.gen_tex = False
+
+    params, statics = build_scene(mesh, regions, cfg, num_views=3)
+    cams = make_camera_ring(3, width=32, height=24, distance=2.0)
+    source = SyntheticSequence(params=params, cameras=cams, num_frames=2)
+    trainer = Trainer(cfg, source, params, statics)
+    assert trainer.batched_multi_step is not None
+    assert trainer._binnings_fn is not None
+    trainer.run(resume=False)
+    rows_logged = [
+        r for r in trainer.metrics_log
+        if "iter" in r and not r.get("summary")
+    ]
+    assert rows_logged, "no metrics logged"
+    assert all(np.isfinite(r["loss_total"]) for r in rows_logged)
+    # both frames produced a final-step log row
+    frames = {r["frame"] for r in rows_logged}
+    assert frames == {0, 1}
+
+
 def test_report_progress_writes_views(tmp_path):
     from topo4d_tpu.core.gaussian import activate_params
     from topo4d_tpu.pipeline.progress import report_progress

@@ -51,6 +51,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(CPU-testable end-to-end).")
     p.add_argument("--views_per_step", type=int, default=1,
                    help="1 = reference parity; 0 = all views batched.")
+    p.add_argument("--track_rebin_freq", type=int, default=25,
+                   help="Scanned geometry segments reuse per-view "
+                        "binnings for up to this many steps (pallas; "
+                        "0 = fresh binning every render, the reference's "
+                        "exact semantics).")
     p.add_argument("--no_resume", action="store_true")
     p.add_argument("--no_mask", action="store_true",
                    help="Disable face-parsing masks even if configured on.")
@@ -108,6 +113,7 @@ def config_from_args(args) -> "Config":
     put(tx, "tex_res", args.tex_res)
     put(tx, "density", args.density)
     put(cfg.raster, "backend", args.backend)
+    put(cfg.raster, "track_rebin_freq", args.track_rebin_freq)
     if args.interpret:
         cfg.raster.interpret = True
     if args.no_mask:

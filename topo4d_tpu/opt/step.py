@@ -172,8 +172,14 @@ def _build_step_impl(
     umbrellas: Dict[str, UmbrellaFlatten],
     render_fn: Callable[[GaussianRenderVars, Camera], object],
     ring_indices=None,  # (N, K) np.int32 — priors.neighbor_indices pre-transpose
+    binned_render_fn: Optional[Callable] = None,
 ) -> Callable:
     """Build the (unjitted) step body. ``render_fn(rv, cam) -> RenderOutput``.
+
+    ``binned_render_fn(rv, cam, binning)`` (pallas backend): when the step
+    receives a frozen ``binning`` it renders along that permutation
+    instead of re-running the duplicate-and-sort (see
+    ``raster.track_rebin_freq``).
 
     See ``build_topo_losses`` for the shared loss assembly.
     """
@@ -187,9 +193,13 @@ def _build_step_impl(
         priors: GeometryPriors,
         weights: Dict[str, jnp.ndarray],
         phase: str,
+        binning=None,
     ):
         rv = activate_params(params)
-        out = render_fn(rv, cam)
+        if binning is not None:
+            out = binned_render_fn(rv, cam, binning)
+        else:
+            out = render_fn(rv, cam)
         im = (
             jnp.exp(params["cam_m"][view_id])[:, None, None] * out.image
             + params["cam_c"][view_id][:, None, None]
@@ -215,11 +225,12 @@ def _build_step_impl(
         weights: Dict[str, jnp.ndarray],
         phase: str,
         with_metrics: bool = True,
+        binning=None,
     ) -> Tuple[TrainState, GeometryPriors, Dict[str, jnp.ndarray]]:
         cam = cams[view_id]
         (total, (losses, new_cos, radii, im)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, gt, cam, view_id, priors, weights, phase)
+        )(state.params, gt, cam, view_id, priors, weights, phase, binning)
 
         new_params, new_opt = adam_update(state.params, grads, state.opt, lr)
         new_params = apply_constraints(new_params, constraints)
@@ -266,6 +277,8 @@ def make_geometry_multi_step(
     umbrellas: Dict[str, UmbrellaFlatten],
     render_fn: Callable[[GaussianRenderVars, Camera], object],
     ring_indices=None,
+    binned_render_fn: Optional[Callable] = None,
+    binnings_fn: Optional[Callable] = None,
 ) -> Callable:
     """Scanned segment of iterations: ONE dispatch for a run of steps.
 
@@ -274,10 +287,18 @@ def make_geometry_multi_step(
     between log points into one device program. Semantics are identical
     to looping ``step`` with ``with_metrics=False`` — one view per
     iteration, same order. Returns (state, priors, loss_total (S,)).
+
+    When ``binnings_fn(params, cams) -> stacked per-view Binning`` and
+    ``binned_render_fn(rv, cam, binning)`` are given, per-view binnings
+    are computed ONCE at segment entry and every scanned step packs
+    current values along its view's frozen permutation — amortizing the
+    duplicate-and-sort over the segment (``raster.track_rebin_freq``
+    caps the segment length and thus the permutation staleness).
     """
     step_impl = _build_step_impl(
-        quadruples, umbrellas, render_fn, ring_indices
+        quadruples, umbrellas, render_fn, ring_indices, binned_render_fn
     )
+    freeze_binnings = binnings_fn is not None and binned_render_fn is not None
 
     @functools.partial(jax.jit, static_argnames=("phase",))
     def multi_step(
@@ -291,11 +312,20 @@ def make_geometry_multi_step(
         weights: Dict[str, jnp.ndarray],
         phase: str,
     ):
+        binnings = None
+        if freeze_binnings:
+            binnings = binnings_fn(state.params, cams)
+
         def body(carry, vid):
             state, priors = carry
+            binning = None
+            if binnings is not None:
+                binning = jax.tree_util.tree_map(
+                    lambda x: x[vid], binnings
+                )
             state, priors, m = step_impl(
                 state, images[vid], cams, vid, priors, constraints, lr,
-                weights, phase, with_metrics=False,
+                weights, phase, with_metrics=False, binning=binning,
             )
             return (state, priors), m["loss_total"]
 

@@ -35,7 +35,10 @@ from topo4d_tpu.opt.step import (
     make_geometry_multi_step,
     make_geometry_step,
 )
-from topo4d_tpu.parallel.batched import make_batched_geometry_step
+from topo4d_tpu.parallel.batched import (
+    make_batched_geometry_multi_step,
+    make_batched_geometry_step,
+)
 from topo4d_tpu.pipeline import checkpoint as ckpt
 from topo4d_tpu.pipeline.data import view_order
 from topo4d_tpu.pipeline.masks import dim_inner_mouth
@@ -89,6 +92,45 @@ def make_render_fn(cfg: Config):
     raise ValueError(f"unknown rasterizer backend {backend!r}")
 
 
+def make_geo_binning_fns(cfg: Config):
+    """(binned_render_fn, binnings_fn) for geometry-phase frozen binning.
+
+    Active when ``raster.track_rebin_freq > 0`` on the pallas backend:
+    scanned geometry segments then compute per-view binnings once at
+    segment entry and reuse the permutations for every step in the
+    segment (see RasterizerConfig.track_rebin_freq). Returns
+    (None, None) otherwise — fresh binning per render.
+    """
+    if cfg.raster.backend != "pallas" or cfg.raster.track_rebin_freq <= 0:
+        return None, None
+    from topo4d_tpu.core.gaussian import activate_params
+    from topo4d_tpu.rasterizer.pallas import (
+        binning_for,
+        render_gaussians_pallas,
+    )
+
+    bg = jnp.asarray(cfg.raster.bg, jnp.float32)
+
+    def binned_render_fn(rv, cam, binning):
+        return render_gaussians_pallas(
+            rv, cam, bg=bg, max_span=cfg.raster.max_span,
+            chunk=cfg.raster.chunk, interpret=cfg.raster.interpret,
+            binning=binning,
+        )
+
+    def binnings_fn(params, cams):
+        rv = activate_params(params)
+        v = jax.tree_util.tree_leaves(cams)[0].shape[0]
+        return jax.lax.map(
+            lambda vid: binning_for(
+                rv, cams[vid], max_span=cfg.raster.max_span
+            ),
+            jnp.arange(v, dtype=jnp.int32),
+        )
+
+    return binned_render_fn, binnings_fn
+
+
 def make_dense_render_fn(cfg: Config):
     """Dense-loop renderer: (rv, cam, binning) — only the pallas backend
     consumes the frozen binning; others ignore it. With
@@ -139,12 +181,17 @@ class Trainer:
             ring_indices=statics.ring.indices,
         )
         # scanned segments: one dispatch per run of identically-configured
-        # iterations (same constraints/LRs, no logging)
+        # iterations (same constraints/LRs, no logging); with
+        # raster.track_rebin_freq > 0 the segment additionally freezes
+        # per-view binnings computed at its entry
+        self._binned_render_fn, self._binnings_fn = make_geo_binning_fns(cfg)
         self.multi_step = None
         if cfg.schedule.views_per_step == 1 and cfg.schedule.use_scan:
             self.multi_step = make_geometry_multi_step(
                 statics.quadruples, statics.umbrellas, self.render_fn,
                 ring_indices=statics.ring.indices,
+                binned_render_fn=self._binned_render_fn,
+                binnings_fn=self._binnings_fn,
             )
         # all-views mode: multi-device uses shard_map over the view axis
         # (required for the Pallas backend, which has no vmap rule)
@@ -183,6 +230,23 @@ class Trainer:
             ring_indices=statics.ring.indices,
             multiview_render_fn=multiview_fn,
         )
+        # scanned batched segments (single-device): one dispatch per run
+        # of identically-configured batched steps; frozen per-view
+        # binnings when track_rebin_freq > 0
+        self.batched_multi_step = None
+        if (
+            cfg.schedule.views_per_step == 0
+            and cfg.schedule.use_scan
+            and self.mesh is None
+            and multiview_fn is None
+        ):
+            self.batched_multi_step = make_batched_geometry_multi_step(
+                statics.quadruples, statics.umbrellas, self.render_fn,
+                sequential_views=(cfg.raster.backend == "pallas"),
+                ring_indices=statics.ring.indices,
+                binned_render_fn=self._binned_render_fn,
+                binnings_fn=self._binnings_fn,
+            )
 
         params = {k: jnp.asarray(v) for k, v in params_np.items()}
         self.params0 = {k: jnp.asarray(v) for k, v in params.items()}
@@ -340,27 +404,56 @@ class Trainer:
                 images = shard_view_batch(self.mesh, images)
                 cams = shard_view_batch(self.mesh, cams)
             metrics = {}
-            for i in range(nb):
+
+            def batched_attrs(i):
+                """(constraint phase, lr key, log?) of batched step i."""
                 frac = i / nb
                 if is_init:
-                    con_phase = (
+                    con = (
                         "init_early" if frac < sched.eye_freeze_frac
                         else "init"
                     )
                     lr_key = "init"
                 else:
-                    con_phase = "track"
+                    con = "track"
                     lr_key = (
                         "polish"
                         if frac >= 1.0 - sched.polish_iters / num_iters
                         else "track"
                     )
+                return con, lr_key, i % log_every == 0 or i == nb - 1
+
+            # frozen binnings cap the scanned segment length (permutation
+            # staleness bound); without them the scan is exact
+            seg_cap = (
+                cfg.raster.track_rebin_freq
+                if self._binnings_fn is not None else nb
+            )
+            i = 0
+            while i < nb:
+                con_phase, lr_key, log_this = batched_attrs(i)
+                if self.batched_multi_step is not None and not log_this:
+                    # extend the segment while the step config is unchanged
+                    j = i + 1
+                    while (
+                        j < nb
+                        and j - i < seg_cap
+                        and batched_attrs(j) == (con_phase, lr_key, False)
+                    ):
+                        j += 1
+                    self.state, self.priors, _ = self.batched_multi_step(
+                        self.state, images, cams, self.priors,
+                        self._constraints(con_phase), self.lrs_for(lr_key),
+                        weights, step_phase, j - i,
+                    )
+                    i = j
+                    continue
                 self.state, self.priors, m = self.batched_step(
                     self.state, images, cams, self.priors,
                     self._constraints(con_phase), self.lrs_for(lr_key),
                     weights, step_phase,
                 )
-                if i % log_every == 0 or i == nb - 1:
+                if log_this:
                     metrics = {k: float(v) for k, v in m.items()}
                     metrics["frame"] = t
                     metrics["iter"] = i
@@ -371,6 +464,7 @@ class Trainer:
                             images, frame_data.view_names,
                             cfg.data.log_views, self._out_dir, t + 1, i,
                         )
+                i += 1
             return metrics
 
         self._last_geo_renders = num_iters  # one view per iteration
@@ -380,10 +474,17 @@ class Trainer:
             constraints = self._constraints(con_phase)
             lr = self.lrs_for(lr_key)
             if self.multi_step is not None and not log_this:
-                # extend the segment while the step config is unchanged
+                # extend the segment while the step config is unchanged;
+                # frozen binnings (track_rebin_freq) cap its length
+                seg_cap = (
+                    cfg.raster.track_rebin_freq
+                    if self._binnings_fn is not None else num_iters
+                )
                 j = i + 1
-                while j < num_iters and iter_attrs(j) == (
-                    con_phase, lr_key, False
+                while (
+                    j < num_iters
+                    and j - i < seg_cap
+                    and iter_attrs(j) == (con_phase, lr_key, False)
                 ):
                     j += 1
                 vids = jnp.asarray(order[i:j], jnp.int32)
