@@ -38,6 +38,45 @@ def test_adam_matches_torch():
     )
 
 
+def test_adam_per_leaf_path_matches_fused():
+    """Large models dispatch to the per-leaf Adam; identical math."""
+    from topo4d_tpu.opt.adam import _adam_update_per_leaf
+
+    rng = np.random.default_rng(11)
+    params = {
+        "a": jnp.asarray(rng.normal(size=(1000, 3)).astype(np.float32)),
+        "b": jnp.asarray(rng.normal(size=(1000, 4)).astype(np.float32)),
+        "c": jnp.asarray(rng.normal(size=(7,)).astype(np.float32)),
+    }
+    grads = {
+        k: jnp.asarray(rng.normal(size=v.shape).astype(np.float32))
+        for k, v in params.items()
+    }
+    lrs = {"a": jnp.asarray(0.01), "b": jnp.asarray(0.002),
+           "c": jnp.asarray(0.1)}
+    # different step counts per leaf exercise the bias corrections
+    state = adam_init(params)
+    state = state._replace(
+        step={"a": jnp.asarray(3, jnp.int32), "b": jnp.asarray(0, jnp.int32),
+              "c": jnp.asarray(10, jnp.int32)}
+    )
+    pf, sf = adam_update(params, grads, state, lrs)  # fused (small total)
+    pl, sl = _adam_update_per_leaf(
+        params, grads, state, lrs, 0.9, 0.999, 1e-15
+    )
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(pl[k]), np.asarray(pf[k]), rtol=1e-6, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(sl.mu[k]), np.asarray(sf.mu[k]), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(sl.nu[k]), np.asarray(sf.nu[k]), rtol=1e-6, atol=1e-12
+        )
+        assert int(sl.step[k]) == int(sf.step[k])
+
+
 def test_reset_moments_keeps_step():
     params = {"a": jnp.ones(3), "b": jnp.ones(3)}
     state = adam_init(params)

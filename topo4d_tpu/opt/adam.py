@@ -40,6 +40,35 @@ def adam_init(params: Dict[str, jnp.ndarray]) -> AdamState:
     )
 
 
+# above this many total elements the flatten-and-concat fusion below is
+# counterproductive: the concat/slice data movement dominates (measured
+# 29.7 ms/step at the dense phase's 3.3M elements on a v5e, vs <1 ms per
+# -leaf) while the per-leaf dispatch overhead it was built to amortize
+# (~1.4 ms for 7 tiny leaves) is amortized by sheer size instead. The
+# geometry model (~116k elements at N=8,280) stays on the measured-fast
+# fused path; the dense texture set (3.3M at 300k) goes per-leaf.
+_FUSE_MAX_ELEMENTS = 262_144
+
+
+def _adam_update_per_leaf(params, grads, state, lr, b1, b2, eps):
+    """Per-leaf Adam: one fused elementwise kernel per leaf.
+
+    Identical per-element math to the fused path (no cross-element ops),
+    so results are bitwise equal — pinned by tests/test_opt.py.
+    """
+    new_p, mu, nu, step = {}, {}, {}, {}
+    for k, p in params.items():
+        g = grads[k]
+        t = (state.step[k] + 1).astype(p.dtype)
+        mu[k] = b1 * state.mu[k] + (1.0 - b1) * g
+        nu[k] = b2 * state.nu[k] + (1.0 - b2) * (g * g)
+        scale = (lr[k] / (1.0 - b1**t)).astype(p.dtype)
+        denom_corr = (1.0 / (1.0 - b2**t)).astype(p.dtype)
+        new_p[k] = p - scale * mu[k] / (jnp.sqrt(nu[k] * denom_corr) + eps)
+        step[k] = state.step[k] + 1
+    return new_p, AdamState(step=step, mu=mu, nu=nu)
+
+
 def adam_update(
     params: Dict[str, jnp.ndarray],
     grads: Dict[str, jnp.ndarray],
@@ -52,13 +81,18 @@ def adam_update(
     """One FUSED Adam step. Returns (new_params, new_state).
 
     torch parity: denom = sqrt(nu_hat) + eps (eps outside the sqrt),
-    update = lr * mu_hat / denom. The element-wise math runs once over the
-    concatenation of all leaves — per-leaf kernels cost ~1.4 ms/step on
-    TPU for this model's ~7 tiny parameters; fused it is ~0.2 ms. Per-leaf
-    LRs and bias corrections become segment vectors.
+    update = lr * mu_hat / denom. For models of tiny leaves the
+    element-wise math runs once over the concatenation of all leaves —
+    per-leaf kernels cost ~1.4 ms/step on TPU for this model's ~7 tiny
+    parameters; fused it is ~0.2 ms. Per-leaf LRs and bias corrections
+    become segment vectors. Large models (the 300k-Gaussian dense phase)
+    dispatch to the per-leaf path instead, where the concat/slice
+    movement would dominate (bitwise-identical results).
     """
     keys = list(params.keys())
     sizes = [int(params[k].size) for k in keys]
+    if sum(sizes) > _FUSE_MAX_ELEMENTS:
+        return _adam_update_per_leaf(params, grads, state, lr, b1, b2, eps)
 
     def flat(tree):
         return jnp.concatenate([tree[k].reshape(-1) for k in keys])
