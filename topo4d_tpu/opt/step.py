@@ -61,7 +61,6 @@ class GeometryPriors(NamedTuple):
     init_scale: jnp.ndarray  # (N,) sqrt(mean knn sq dist)
     temporal: TemporalPriors
     cos_init: jnp.ndarray  # (Es,) fused soft-flatten initial cosines
-    neighbor_inv: Optional[jnp.ndarray] = None  # unused (kept for ckpt compat)
 
 
 class TrainState(NamedTuple):

@@ -188,6 +188,7 @@ def load_resume_orbax(out_dir: str):
     )
     pr = dict(p["priors"])
     pr["temporal"] = TemporalPriors(**pr["temporal"])
+    pr.pop("neighbor_inv", None)  # dropped field; tolerate old checkpoints
     priors = GeometryPriors(**pr)
     texture_state = None
     if p.get("texture_state"):

@@ -267,8 +267,9 @@ def bake_texture_sharded(
     are tiny next to the canvas) and the sharded output concatenates on
     the host. Pixel results are bitwise identical to ``bake_texture``.
     """
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
+
+    shard_map = jax.shard_map
 
     if mesh is None:
         mesh = Mesh(np.array(jax.devices()), ("band",))
