@@ -426,8 +426,8 @@ def _bench_bake8k() -> None:
     from topo4d_tpu.texture.bake import process_uv
     from topo4d_tpu.texture.bake_pallas import (
         CHUNK,
-        _bake_compact,
-        bin_triangles_np,
+        _fill_and_bake,
+        compute_bake_binning,
     )
 
     res, window, bands = 8192, 16, 8
@@ -450,39 +450,44 @@ def _bench_bake8k() -> None:
     verts_px = process_uv(uvs, res, res)
     verts_px[:, 2] = rng.uniform(0, 1, uvs.shape[0])
 
+    # per-SEQUENCE one-off: host duplicate-and-sort + device upload
+    # (trainer caches this BakeBinning; frames only refresh colors)
     t0 = time.perf_counter()
-    packed, tmap, start, count, tiles_x, _, m = bin_triangles_np(
-        verts_px, tris, colors, res, res
-    )
+    binning = compute_bake_binning(verts_px, tris, res, res)
+    jax.block_until_ready(binning.packed_geom)
     t_bin = time.perf_counter() - t0
-    pd, td, sd, cd = (
-        jax.device_put(jnp.asarray(x)) for x in (packed, tmap, start, count)
-    )
-    jax.block_until_ready(pd)
+    colors_dev = jax.device_put(jnp.asarray(colors))
 
     @jax.jit
-    def run_once(packed, tmap, start, count, nudge):
-        # nudge only the color rows — scaling tile ids would unmask
-        # every entry and dodge the real work
-        p = packed.at[9:18].mul(nudge)
-        out = _bake_compact(
-            p, tmap, start, count, tiles_x, res, res, CHUNK, 4, False
+    def run_once(packed_geom, corner_idx, colors, tmap, start, count,
+                 nudge):
+        # nudge only the colors — the per-frame production path refreshes
+        # exactly these rows via the cached corner gather
+        out = _fill_and_bake(
+            packed_geom, corner_idx, colors * nudge, tmap, start, count,
+            binning.tiles_x, res, res, CHUNK, 4, False,
         )
         return jnp.sum(out[:, 0:3])
 
-    s = run_once(pd, td, sd, cd, jnp.float32(1.0))
+    args = (binning.packed_geom, binning.corner_idx, colors_dev,
+            binning.tmap, binning.start, binning.count)
+    s = run_once(*args, jnp.float32(1.0))
     jax.block_until_ready(s)
     _note(f"bake kernel compiled+first in {time.perf_counter() - t0:.1f}s")
     best = float("inf")
     for i in range(3):
         t0 = time.perf_counter()
-        s = run_once(pd, td, sd, cd, jnp.float32(1.0 + 1e-6 * (i + 1)))
+        s = run_once(*args, jnp.float32(1.0 + 1e-6 * (i + 1)))
         jax.block_until_ready(s)
         best = min(best, time.perf_counter() - t0)
-    RESULT["bake8k_s"] = round(best, 3)
-    RESULT["bake8k_bin_s"] = round(t_bin, 2)
+    RESULT["bake8k_s"] = round(best, 3)  # per-frame: color fill + kernel
+    RESULT["bake8k_bin_s"] = round(t_bin, 2)  # per-sequence one-off
+    RESULT["bake8k_bin_per_frame_s"] = 0.0  # frozen binning (r3)
     RESULT["bake8k_tris"] = int(tris.shape[0])
-    _note(f"bake timed: {best:.3f}s kernel + {t_bin:.2f}s host binning")
+    _note(
+        f"bake timed: {best:.3f}s kernel+fill per frame; "
+        f"{t_bin:.2f}s one-off sequence binning"
+    )
 
 
 def main() -> None:

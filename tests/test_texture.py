@@ -329,6 +329,68 @@ def test_pallas_bake_tie_break_and_big_triangles():
     np.testing.assert_allclose(got2, want2, rtol=1e-4, atol=1e-5)
 
 
+def test_bake_binning_cached_equals_fresh():
+    """Per-sequence frozen bake binning: cached == fresh, bitwise.
+
+    VERDICT r2 item 2: the UV geometry is a sequence constant — only
+    colors change per frame — so the host duplicate-and-sort is cached
+    once and each frame refreshes the color rows with a device gather.
+    The canvas must be BIT-identical to a fresh bake (pad-entry color
+    rows differ but the tile-id sentinel keeps them unread).
+    """
+    from topo4d_tpu.texture.bake_pallas import (
+        bake_texture_pallas,
+        compute_bake_binning,
+    )
+
+    h, w = 96, 80
+    verts, tris, colors = random_mesh(min(h, w), min(h, w), n_tris=50,
+                                      seed=3, max_size=20.0)
+    binning = compute_bake_binning(verts, tris, h, w)
+    rng = np.random.default_rng(0)
+    for _ in range(2):  # two "frames" of colors over one binning
+        c = rng.uniform(0, 1, colors.shape).astype(np.float32)
+        fresh = bake_texture_pallas(verts, tris, c, h, w, interpret=True)
+        cached = bake_texture_pallas(
+            None, None, c, h, w, interpret=True, binning=binning
+        )
+        np.testing.assert_array_equal(cached, fresh)
+
+
+def test_bake_binning_corner_map_matches_uv_scatter():
+    """corner_map composition == the host uv_colors scatter re-indexing.
+
+    The reference re-indexes vertex colors into UV-coordinate slots per
+    frame (duplicate_texture_vertex_color_2, helpers.py:930-941); the
+    frozen binning folds that mapping into the cached corner ids so
+    frames gather straight from the per-vertex color array.
+    """
+    from topo4d_tpu.texture.bake_pallas import (
+        bake_texture_pallas,
+        compute_bake_binning,
+    )
+
+    h = w = 64
+    uv_verts, tris, _ = random_mesh(h, w, n_tris=40, seed=7, max_size=12.0)
+    rng = np.random.default_rng(1)
+    n_vert = 50  # separate (smaller) vertex color table: real seams share it
+    uv2vert = rng.integers(0, n_vert, uv_verts.shape[0])
+    vert_colors = rng.uniform(0, 1, (n_vert, 3)).astype(np.float32)
+    # reference-style host path: scatter into UV slots, bake UV colors
+    uv_colors = np.zeros((uv_verts.shape[0], 3), np.float32)
+    uv_colors[tris.reshape(-1)] = vert_colors[uv2vert[tris.reshape(-1)]]
+    want = bake_texture_pallas(
+        uv_verts, tris, uv_colors, h, w, interpret=True
+    )
+    binning = compute_bake_binning(
+        uv_verts, tris, h, w, corner_map=uv2vert
+    )
+    got = bake_texture_pallas(
+        None, None, vert_colors, h, w, interpret=True, binning=binning
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_seam_heavy_layout_native_vs_jax_bake_highres():
     """C++ scanline vs JAX bake on a seam-heavy UV layout at 1024^2.
 

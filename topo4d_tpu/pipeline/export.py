@@ -44,6 +44,31 @@ def exported_vertices(
     return verts @ inv_trans_g[:3, :3].T + inv_trans_g[:3, 3]
 
 
+def build_bake_binning(statics: SceneStatics, res: int):
+    """Per-sequence frozen bake binning for ``write_texture``.
+
+    The dense UV layout is a sequence constant (reference
+    helpers.py:953-960 recomputes the scanline setup every frame); this
+    caches the packed geometry + compact tile map on device ONCE and
+    composes the UV->vertex color re-indexing
+    (duplicate_texture_vertex_color_2, helpers.py:930-941, with
+    numpy's last-write-wins on shared UV slots) into the per-entry
+    corner ids, so each frame's bake gathers straight from the
+    per-vertex dense color array.
+    """
+    from topo4d_tpu.texture.bake_pallas import compute_bake_binning
+
+    topo = statics.dense.topo
+    vfaces = np.asarray(statics.dense.tri_faces).reshape(-1)
+    ufaces = np.asarray(statics.dense.tri_uv_faces).reshape(-1)
+    uv2vert = np.zeros(topo.dense_uvs.shape[0], np.int64)
+    uv2vert[ufaces] = vfaces
+    uv_px = process_uv(topo.dense_uvs.copy(), res, res)
+    return compute_bake_binning(
+        uv_px, statics.dense.tri_uv_faces, res, res, corner_map=uv2vert
+    )
+
+
 def save_mesh(
     out_dir: str,
     params: Dict[str, jnp.ndarray],
@@ -56,6 +81,7 @@ def save_mesh(
     bake_bands: int = 8,
     bake_backend: str = "auto",
     interpret: bool = False,
+    bake_binning=None,
 ) -> None:
     os.makedirs(out_dir, exist_ok=True)
     inv_g = np.linalg.inv(statics.trans_g)
@@ -87,6 +113,7 @@ def save_mesh(
             bake_bands,
             bake_backend,
             interpret,
+            bake_binning,
         )
 
 
@@ -99,6 +126,7 @@ def write_texture(
     bake_bands: int = 8,
     backend: str = "auto",
     interpret: bool = False,
+    bake_binning=None,
 ) -> None:
     """Bake dense Gaussian colors into the UV canvas and save a PNG.
 
@@ -110,7 +138,29 @@ def write_texture(
     array directly: base UVs take their vertex color via the uv->vertex
     correspondence of the dense faces.
     """
+    import jax
+
     topo = statics.dense.topo
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.devices()[0].platform not in ("cpu",)
+    )
+    if use_pallas and bake_binning is not None:
+        # production path: per-sequence frozen binning (the corner map
+        # composed the UV->vertex re-indexing at build time), per-frame
+        # work = one device clip+gather + the kernel
+        from topo4d_tpu.texture.bake_pallas import bake_texture_pallas
+
+        colors_dev = jnp.clip(
+            jnp.asarray(dense_params["dense_rgb_colors"]), 0.0, 1.0
+        )
+        img = bake_texture_pallas(
+            None, None, colors_dev, res, res, interpret=interpret,
+            binning=bake_binning,
+        )
+        from PIL import Image
+
+        Image.fromarray((img * 255).astype(np.uint8)).save(path)
+        return
     colors = np.clip(np.asarray(dense_params["dense_rgb_colors"]), 0.0, 1.0)
     # map vertex colors into UV-space color slots via face correspondences
     uv_colors = np.zeros((topo.dense_uvs.shape[0], 3), np.float32)
@@ -118,13 +168,8 @@ def write_texture(
     ufaces = statics.dense.tri_uv_faces
     uv_colors[ufaces.reshape(-1)] = colors[vfaces.reshape(-1)]
     uv_px = process_uv(topo.dense_uvs.copy(), res, res)
-    import jax
-
-    use_pallas = backend == "pallas" or (
-        backend == "auto" and jax.devices()[0].platform not in ("cpu",)
-    )
     if use_pallas:
-        # production 8K path: compact Pallas z-buffer kernel (the XLA
+        # compact Pallas z-buffer kernel, fresh binning (the XLA
         # scatter bake measured ~55 s at 8192^2 / 555k tris on a v5e)
         from topo4d_tpu.texture.bake_pallas import bake_texture_pallas
 

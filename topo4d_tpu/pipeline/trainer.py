@@ -302,6 +302,7 @@ class Trainer:
         self.texture_multi_step = None
         self._texture_masked = None
         self.metrics_log: List[Dict] = []
+        self._bake_binning = None
         self.timer = PhaseTimer()
         self._weights_cache: Dict[str, Dict[str, jnp.ndarray]] = {}
         self._lrs_cache: Dict[str, Dict[str, jnp.ndarray]] = {}
@@ -597,12 +598,16 @@ class Trainer:
             from topo4d_tpu.texture.dense import dense_rendervars
 
             def fresh_binning(v):
+                # split_pack: capture the frame-constant packed rows so
+                # each step gathers only the learned conic+color rows
                 return binning_for(
                     dense_rendervars(
                         self.texture_state.params, self.dense_means3d
                     ),
                     cams[v],
                     max_span=cfg.raster.max_span,
+                    with_static=cfg.texture.split_pack,
+                    chunk=cfg.raster.chunk,
                 )
 
         num_iters = cfg.schedule.dense_opt_num
@@ -802,6 +807,29 @@ class Trainer:
 
                     with self.timer.phase("export"):
                         if io:
+                            use_pallas_bake = (
+                                cfg.texture.bake_backend == "pallas"
+                                or (
+                                    cfg.texture.bake_backend == "auto"
+                                    and jax.devices()[0].platform != "cpu"
+                                )
+                            )
+                            if (
+                                self._bake_binning is None
+                                and cfg.texture.gen_tex
+                                and self.texture_state is not None
+                                and use_pallas_bake
+                            ):
+                                # per-sequence constant (VERDICT r2 item 2):
+                                # ~1.6-1.9 s of host binning per 8K bake
+                                # otherwise recomputed every frame
+                                from topo4d_tpu.pipeline.export import (
+                                    build_bake_binning,
+                                )
+
+                                self._bake_binning = build_bake_binning(
+                                    self.statics, cfg.texture.tex_res
+                                )
                             save_mesh(
                                 os.path.join(self._out_dir, "%06d" % (t + 1)),
                                 self.state.params,
@@ -817,6 +845,7 @@ class Trainer:
                                 bake_bands=cfg.texture.bake_bands,
                                 bake_backend=cfg.texture.bake_backend,
                                 interpret=cfg.raster.interpret,
+                                bake_binning=self._bake_binning,
                             )
                     geo["frame_seconds"] = round(time.time() - t_start, 4)
                     self.metrics_log.append(
