@@ -85,6 +85,75 @@ def test_texture_step_cached_binning_tracks_direct(dense_setup):
     np.testing.assert_allclose(cached_losses, direct_losses, rtol=1e-3)
 
 
+def test_texture_step_split_pack_matches_full(dense_setup):
+    """split-pack (static frame-constant rows) == full pack.
+
+    The split path gathers only the learned conic+color rows per step —
+    those rows and the tile row are BITWISE equal to the full pack; the
+    frame-constant x/y/depth rows may differ by one ulp because the
+    binning captures them from its own compiled projection (XLA may
+    reassociate differently across programs). Losses and learned-param
+    trajectories must track to float tolerance over several updates
+    (VERDICT r2 item 1: the named dense-phase lever).
+    """
+    params, cams, means, gt = dense_setup
+    rv = dense_rendervars(params, means)
+    full = binning_for(rv, cams[0], max_span=8)
+    split = binning_for(rv, cams[0], max_span=8, with_static=True)
+    assert split.static_rows is not None
+
+    def run(binning):
+        # production LR table shape: only colors/rotations learn
+        # (train.py:281-286) — the split-pack contract
+        render = lambda rv, cam, b: render_gaussians_pallas(
+            rv, cam, max_span=8, chunk=128, interpret=True, binning=b
+        )
+        step = make_texture_step(render)
+        state = TextureState(params=dict(params), opt=adam_init(params))
+        anchor = params["dense_rgb_colors"]
+        lr = {
+            "dense_rgb_colors": jnp.asarray(0.01, jnp.float32),
+            "dense_unnorm_rotations": jnp.asarray(0.01, jnp.float32),
+            "dense_logit_opacities": jnp.asarray(0.0, jnp.float32),
+            "dense_log_scales": jnp.asarray(0.0, jnp.float32),
+        }
+        weights = {"im": jnp.asarray(1.0), "soft_color": jnp.asarray(0.02)}
+        vid = jnp.asarray(0, jnp.int32)
+        losses = []
+        for _ in range(4):
+            state, m = step(
+                state, means, gt, cams, vid, anchor, (), lr, weights,
+                binning,
+            )
+            losses.append(float(m["loss_total"]))
+        return losses, state
+
+    full_losses, full_state = run(full)
+    split_losses, split_state = run(split)
+    np.testing.assert_allclose(split_losses, full_losses, rtol=1e-6)
+    for k in ("dense_rgb_colors", "dense_unnorm_rotations"):
+        np.testing.assert_allclose(
+            np.asarray(split_state.params[k]),
+            np.asarray(full_state.params[k]),
+            rtol=1e-5, atol=1e-7,
+        )
+    # learned rows + tile row of the pack are bitwise equal; static
+    # x/y/opacity/depth rows agree to a relative ulp
+    from topo4d_tpu.core.gaussian import project_gaussians
+    from topo4d_tpu.rasterizer.tiles import pack_with_binning
+
+    proj = project_gaussians(rv, cams[0])
+    p_full = np.asarray(
+        pack_with_binning(proj, rv.colors, rv.opacities, full).packed
+    )
+    p_split = np.asarray(
+        pack_with_binning(proj, rv.colors, rv.opacities, split).packed
+    )
+    exact_rows = [2, 3, 4, 6, 8, 9, 10]  # conics, tile, colors
+    np.testing.assert_array_equal(p_split[exact_rows], p_full[exact_rows])
+    np.testing.assert_allclose(p_split, p_full, rtol=1e-6)
+
+
 def test_texture_step_masked_loss(dense_setup):
     """use_mask_dense: masked L1 over parsing regions (train.py:392-405)."""
     from topo4d_tpu.config import DEFAULT_CMAP_INDEX

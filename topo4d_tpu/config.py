@@ -209,6 +209,14 @@ class TextureConfig:
     # render's num_overflow — size generously (the trainer warns if a
     # frame ever overflows)
     tile_capacity: int = 0
+    # split-pack (pallas backend, frozen-binning dense loop): gather only
+    # the per-step LEARNED packed rows (conics from the learning
+    # rotations + colors); means2d/depth/opacity are frame constants
+    # captured in the binning's static rows (up to one-ulp projection
+    # reassociation across compiles). Learned-parameter gradients are
+    # the same ops; the frozen params' (zero-LR) gradients are not
+    # materialized
+    split_pack: bool = True
 
 
 @dataclasses.dataclass

@@ -409,16 +409,38 @@ def render_gaussians_pallas_tile_sharded(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("max_span",))
+@functools.partial(
+    jax.jit, static_argnames=("max_span", "with_static", "chunk")
+)
 def binning_for(
-    rv: GaussianRenderVars, cam: Camera, max_span: int = 4
+    rv: GaussianRenderVars,
+    cam: Camera,
+    max_span: int = 4,
+    with_static: bool = False,
+    chunk: int = 128,
 ):
     """Compute the reusable frozen binning for the current geometry.
 
     Camera width/height are static pytree aux, so the whole
     project+duplicate+sort runs as one jitted graph.
+
+    ``with_static`` (dense texture loop): additionally capture the
+    frame-constant packed rows (``tiles.pack_static_rows``) so each step
+    gathers only the learned conic+color rows (``texture.split_pack``).
     """
+    from topo4d_tpu.rasterizer.tiles import pack_static_rows
+
     proj = project_gaussians(rv, cam)
-    return compute_binning(
+    b = compute_binning(
         jax.lax.stop_gradient(proj), cam.width, cam.height, max_span
     )
+    if with_static:
+        b = b._replace(
+            static_rows=pack_static_rows(
+                jax.lax.stop_gradient(proj),
+                jax.lax.stop_gradient(rv.opacities),
+                b,
+                chunk,
+            )
+        )
+    return b

@@ -176,6 +176,11 @@ class Binning(NamedTuple):
     tile_count: jnp.ndarray  # (T,) int32
     num_cropped: jnp.ndarray  # () int32
     inv_positions: Optional[jnp.ndarray] = None  # (N, R) int32
+    # split-pack (dense texture loop): the frame-CONSTANT packed rows
+    # [x, y, opacity, tile, depth, zero], pre-gathered at binning time
+    # (``pack_static_rows``). When present, ``pack_with_binning`` gathers
+    # only the six learned rows (conics + colors) per step.
+    static_rows: Optional[jnp.ndarray] = None  # (6, E_pad) f32
 
 
 def depth_sorted_order(proj: Projected) -> jnp.ndarray:
@@ -309,6 +314,50 @@ _gather_entries.defvjp(_gather_entries_fwd, _gather_entries_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
+def pack_static_rows(
+    proj: Projected,
+    opacities: jnp.ndarray,
+    binning: Binning,
+    chunk: int = PACK_CHUNK,
+) -> jnp.ndarray:
+    """The frame-constant packed rows for the dense split-pack.
+
+    In the texture loop only ``dense_rgb_colors`` and
+    ``dense_unnorm_rotations`` learn (reference train.py:281-286):
+    means2d/depth (functions of the frozen means3D) and opacity are
+    constant within a frame, exactly like the frozen binning itself.
+    Capturing them once at binning time lets every step gather only the
+    6 learned rows (conics + colors) instead of all 10. The learned and
+    tile rows are bitwise equal to the full path; the captured rows can
+    differ by one ulp (the binning's own compiled projection may
+    reassociate differently than the step's) — within the frozen-binning
+    staleness contract.
+
+    Returns (6, E_pad): rows [x, y, opacity, tile, depth, zero] with the
+    same -1.0 tail padding as ``pack_with_binning``.
+    """
+    fields = jnp.stack(
+        [
+            proj.means2d[:, 0],
+            proj.means2d[:, 1],
+            opacities,
+            proj.depths,
+        ],
+        axis=0,
+    )  # (4, N)
+    rows = jnp.take(fields, binning.sorted_gid, axis=1)
+    rows = jnp.where(binning.entry_valid[None, :], rows, 0.0)
+    e = rows.shape[1]
+    tile_row = binning.sorted_tile.astype(jnp.float32)[None, :]
+    zero = jnp.zeros((1, e), jnp.float32)
+    s = jnp.concatenate(
+        [rows[0:2], rows[2:3], tile_row, rows[3:4], zero], axis=0
+    )  # (6, E)
+    pad = (-e) % chunk + chunk
+    return jnp.pad(s, ((0, 0), (0, pad)), constant_values=-1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
 def pack_with_binning(
     proj: Projected,
     colors: jnp.ndarray,
@@ -321,9 +370,58 @@ def pack_with_binning(
     With ``binning.inv_positions`` present the backward is a dense
     inverse gather (see ``_gather_entries``); otherwise XLA's take
     transpose (a scatter-add segment-sum) applies.
+
+    With ``binning.static_rows`` (the dense split-pack) only the six
+    LEARNED rows — conics (the rotations learn) and colors — are
+    gathered per call; the frame-constant rows come from the binning.
+    The frozen fields' cotangents are then not materialized (their
+    params sit at zero LR; trajectories are identical — tested).
     """
     if chunk % PACK_CHUNK:
         raise ValueError(f"chunk must be a multiple of {PACK_CHUNK}")
+    if binning.static_rows is not None:
+        learned = jnp.stack(
+            [
+                proj.conics[:, 0],
+                proj.conics[:, 1],
+                proj.conics[:, 2],
+                colors[:, 0],
+                colors[:, 1],
+                colors[:, 2],
+            ],
+            axis=0,
+        )  # (6, N)
+        if binning.inv_positions is not None:
+            rows6 = _gather_entries(
+                learned, binning.sorted_gid, binning.entry_valid,
+                binning.inv_positions,
+            )
+        else:
+            rows6 = jnp.take(learned, binning.sorted_gid, axis=1)
+            rows6 = jnp.where(binning.entry_valid[None, :], rows6, 0.0)
+        e = rows6.shape[1]
+        pad = (-e) % chunk + chunk
+        rows6 = jnp.pad(rows6, ((0, 0), (0, pad)), constant_values=-1.0)
+        s = binning.static_rows
+        packed = jnp.concatenate(
+            [
+                s[0:2],  # x, y
+                rows6[0:3],  # conics
+                s[2:3],  # opacity
+                s[3:4],  # tile id
+                s[5:6],  # zero row 7
+                rows6[3:6],  # colors
+                s[4:5],  # depth
+                s[5:6], s[5:6], s[5:6], s[5:6],  # zero rows 12-15
+            ],
+            axis=0,
+        )  # (16, E_pad)
+        return PackedBins(
+            packed=packed,
+            tile_start=binning.tile_start,
+            tile_count=binning.tile_count,
+            num_cropped=binning.num_cropped,
+        )
     fields = jnp.stack(
         [
             proj.means2d[:, 0],
