@@ -152,6 +152,12 @@ class ScheduleConfig:
     # virtual tall canvas instead of a sequential lax.map (single-device
     # pallas only; exact — tested per-view parity)
     fuse_views: bool = False
+    # overlap the per-frame host IO (checkpoint pickling, OBJ write, 8K
+    # bake + PNG encode) with the NEXT frame's device compute on a worker
+    # thread (SURVEY §5 frame-pipeline axis; jnp arrays are immutable so
+    # the captured snapshots are race-free). At most one frame of IO is
+    # in flight; failures surface at the next frame boundary
+    async_export: bool = True
 
 
 @dataclasses.dataclass
