@@ -19,7 +19,7 @@ import numpy as np
 
 
 def fabricate(root, num_views=4, num_frames=2, rows=10, cols=10,
-              work_w=48, work_h=32, ratio=8):
+              work_w=48, work_h=32, ratio=8, motion_scale=0.002):
     import jax.numpy as jnp
     from PIL import Image
 
@@ -127,7 +127,8 @@ def fabricate(root, num_views=4, num_frames=2, rows=10, cols=10,
         "cam_c": np.zeros((num_views, 3), np.float32),
     }
     src = SyntheticSequence(params=params, cameras=cams,
-                            num_frames=num_frames)
+                            num_frames=num_frames,
+                            motion_scale=motion_scale)
     for t in range(1, num_frames + 1):
         fd = src.frame(t)
         fdir = os.path.join(seq, "%06d" % t)
@@ -167,7 +168,8 @@ def fabricate(root, num_views=4, num_frames=2, rows=10, cols=10,
     )
     dseq = os.path.join(root + "_dense", "seq01")
     src_d = SyntheticSequence(params=params, cameras=dense_cams,
-                              num_frames=num_frames)
+                              num_frames=num_frames,
+                              motion_scale=motion_scale)
     skin_color = bgr_colormap(14)[DEFAULT_CMAP_INDEX["skin"]]
     for t in range(1, num_frames + 1):
         fd = src_d.frame(t)
@@ -193,4 +195,12 @@ if __name__ == "__main__":
     root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/topo4d_fab"
     nv = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     nf = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    fabricate(root, nv, nf)
+    # optional: rows cols work_w work_h ratio motion_scale (e2e runs use
+    # the reference scale 92 90 375 512 2 and a visible motion amplitude)
+    rows = int(sys.argv[4]) if len(sys.argv) > 4 else 10
+    cols = int(sys.argv[5]) if len(sys.argv) > 5 else 10
+    work_w = int(sys.argv[6]) if len(sys.argv) > 6 else 48
+    work_h = int(sys.argv[7]) if len(sys.argv) > 7 else 32
+    ratio = int(sys.argv[8]) if len(sys.argv) > 8 else 8
+    ms = float(sys.argv[9]) if len(sys.argv) > 9 else 0.002
+    fabricate(root, nv, nf, rows, cols, work_w, work_h, ratio, ms)

@@ -306,6 +306,42 @@ def test_scale_image_and_rotate_cam():
     assert tuple(cam3["image_size"]) == (8, 8)
 
 
+def test_scale_image_non_integer_factor():
+    """Non-integer rescale (reference camera.py:246-254, skimage path).
+
+    Bilinear resampling preserves linear ramps, so a gradient image must
+    survive a 0.4x rescale to close tolerance; intrinsics scale by the
+    factor exactly.
+    """
+    from topo4d_tpu.core.agisoft import scale_image
+
+    h, w = 40, 50
+    ys, xs = np.meshgrid(
+        np.linspace(0, 1, h), np.linspace(0, 1, w), indexing="ij"
+    )
+    img = np.stack([xs, ys, xs + ys], axis=-1)
+    cam = {
+        "intrinsics": np.array(
+            [[100.0, 0, 25], [0, 100.0, 20], [0, 0, 1]]
+        ),
+        "image_size": np.array([w, h]),
+    }
+    small, cam2 = scale_image(img, 0.4, cam)
+    assert small.shape[:2] == (16, 20)
+    assert cam2["intrinsics"][0, 0] == 40.0
+    ys2, xs2 = np.meshgrid(
+        np.linspace(0, 1, 16), np.linspace(0, 1, 20), indexing="ij"
+    )
+    # interior pixels of a linear ramp reproduce the ramp (edges feel
+    # the filter's boundary handling)
+    np.testing.assert_allclose(
+        small[2:-2, 2:-2, 0], xs2[2:-2, 2:-2], atol=0.03
+    )
+    np.testing.assert_allclose(
+        small[2:-2, 2:-2, 1], ys2[2:-2, 2:-2], atol=0.03
+    )
+
+
 def test_quaternion_similarity():
     from topo4d_tpu.core.quaternion import quaternion_similarity
 

@@ -238,18 +238,42 @@ def batch_perspective_project(
 
 
 def scale_image(image: np.ndarray, scale_factor: float, camera=None):
-    """Downscale an image and (optionally) its intrinsics (camera.py:246-254).
+    """Rescale an image and (optionally) its intrinsics (camera.py:246-254).
 
-    Uses exact integer-stride area averaging for 1/k factors (the only use
-    in the pipeline) instead of skimage's general resampler.
+    Integer 1/k factors (the only ones the pipeline uses, down_ratio 8/2/1)
+    take exact integer-stride area averaging. Non-integer factors resample
+    through PIL's scale-adaptive bilinear filter — anti-aliased like the
+    reference's skimage ``rescale(anti_aliasing=True)``, though not
+    bit-identical to its Gaussian-prefilter + spline path (documented
+    deviation; this branch is off the live pipeline).
     """
     inv = 1.0 / scale_factor
     k = int(round(inv))
-    if abs(inv - k) > 1e-6:
-        raise ValueError("only integer downscale factors supported")
     h, w = image.shape[:2]
-    hc, wc = (h // k) * k, (w // k) * k
-    img = image[:hc, :wc].reshape(h // k, k, w // k, k, -1).mean(axis=(1, 3))
+    if abs(inv - k) > 1e-6:
+        from PIL import Image
+
+        h2 = max(int(round(h * scale_factor)), 1)
+        w2 = max(int(round(w * scale_factor)), 1)
+        img = np.stack(
+            [
+                np.asarray(
+                    Image.fromarray(
+                        np.ascontiguousarray(image[..., c], np.float32),
+                        mode="F",
+                    ).resize((w2, h2), Image.BILINEAR)
+                )
+                for c in range(image.shape[2])
+            ],
+            axis=-1,
+        )
+    else:
+        hc, wc = (h // k) * k, (w // k) * k
+        img = (
+            image[:hc, :wc]
+            .reshape(h // k, k, w // k, k, -1)
+            .mean(axis=(1, 3))
+        )
     if camera is None:
         return img
     camera = dict(camera)
