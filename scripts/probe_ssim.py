@@ -88,6 +88,12 @@ def ssim_shift(img1, img2, window_size=11, sigma=1.5):
 
 
 def main(w=3840, h=2160):
+    for (rw, rh) in ((512, 375), (w, h)):
+        note(f"==== {rw}x{rh} ====")
+        run_res(rw, rh)
+
+
+def run_res(w, h):
     rng = np.random.default_rng(0)
     gt = jnp.asarray(rng.uniform(0, 1, (3, h, w)).astype(np.float32))
     im0 = jnp.asarray(rng.uniform(0, 1, (3, h, w)).astype(np.float32))
