@@ -36,6 +36,15 @@ import time
 
 import numpy as np
 
+def _tunnel_sync(x):
+    """Timing-grade sync: block_until_ready can ACK before execution
+    through the remote tunnel (post-outage behavior, 2026-08-20); a
+    one-element device download cannot. See utils.profiling.sync_value."""
+    from topo4d_tpu.utils.profiling import sync_value
+
+    return sync_value(x)
+
+
 _T0 = time.perf_counter()
 
 # fields accumulated across legs; flushed as the one JSON line on exit
@@ -173,7 +182,7 @@ def _bench_full_step() -> float:
                 state, images, cams, vids, priors, cons, lr, weights,
                 "track"
             )
-            jax.block_until_ready(losses)
+            _tunnel_sync(losses)
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -181,7 +190,7 @@ def _bench_full_step() -> float:
                 state, images, cams, vids, priors, cons, lr, weights,
                 "track"
             )
-            jax.block_until_ready(losses)
+            _tunnel_sync(losses)
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -196,7 +205,7 @@ def _bench_full_step() -> float:
         state, gt, cams, vid, priors, cons, lr, weights, "track",
         with_metrics=True,
     )
-    jax.block_until_ready(m["loss_total"])
+    _tunnel_sync(m["loss_total"])
 
     def run_log(iters):
         nonlocal state, priors
@@ -206,7 +215,7 @@ def _bench_full_step() -> float:
                 state, gt, cams, vid, priors, cons, lr, weights, "track",
                 with_metrics=True,
             )
-        jax.block_until_ready(m["loss_total"])
+        _tunnel_sync(m["loss_total"])
         return time.perf_counter() - t0
 
     l1 = run_log(5)
@@ -241,7 +250,7 @@ def _bench_full_step() -> float:
                     bstate, images, cams, bpriors, cons, lr, weights,
                     "track",
                 )
-            jax.block_until_ready(m["loss_total"])
+            _tunnel_sync(m["loss_total"])
             return time.perf_counter() - t0
 
         run_batched(1)
@@ -271,7 +280,7 @@ def _bench_full_step() -> float:
                 bstate, images, cams, bpriors, cons, lr, weights,
                 "track", s
             )
-            jax.block_until_ready(losses)
+            _tunnel_sync(losses)
             return time.perf_counter() - t0
 
         s1, s2 = 2, 12
@@ -367,7 +376,7 @@ def _bench_dense_texture() -> None:
     weights = {"im": jnp.asarray(1.0), "soft_color": jnp.asarray(0.02)}
     vid = jnp.asarray(0, jnp.int32)
 
-    binning = jax.block_until_ready(
+    binning = _tunnel_sync(
         binning_for(dense_rendervars(params, means), cam, max_span=2)
     )
     nonempty = int(jnp.sum(binning.tile_count > 0))
@@ -391,7 +400,7 @@ def _bench_dense_texture() -> None:
                 state, means, gt, cams, vid, anchor, (), lr, weights,
                 binning, with_metrics=False,
             )
-        jax.block_until_ready(m["loss_total"])
+        _tunnel_sync(m["loss_total"])
         return time.perf_counter() - t0
 
     run(3)  # compile + first (slow) execution
@@ -454,7 +463,7 @@ def _bench_bake8k() -> None:
     # (trainer caches this BakeBinning; frames only refresh colors)
     t0 = time.perf_counter()
     binning = compute_bake_binning(verts_px, tris, res, res)
-    jax.block_until_ready(binning.packed_geom)
+    _tunnel_sync(binning.packed_geom)
     t_bin = time.perf_counter() - t0
     colors_dev = jax.device_put(jnp.asarray(colors))
 
@@ -472,13 +481,13 @@ def _bench_bake8k() -> None:
     args = (binning.packed_geom, binning.corner_idx, colors_dev,
             binning.tmap, binning.start, binning.count)
     s = run_once(*args, jnp.float32(1.0))
-    jax.block_until_ready(s)
+    _tunnel_sync(s)
     _note(f"bake kernel compiled+first in {time.perf_counter() - t0:.1f}s")
     best = float("inf")
     for i in range(3):
         t0 = time.perf_counter()
         s = run_once(*args, jnp.float32(1.0 + 1e-6 * (i + 1)))
-        jax.block_until_ready(s)
+        _tunnel_sync(s)
         best = min(best, time.perf_counter() - t0)
     RESULT["bake8k_s"] = round(best, 3)  # per-frame: color fill + kernel
     RESULT["bake8k_bin_s"] = round(t_bin, 2)  # per-sequence one-off
@@ -510,7 +519,7 @@ def main() -> None:
     render = jax.jit(
         lambda rv: render_gaussians_pallas(rv, cam0, max_span=2, chunk=128)
     )
-    gt = jax.block_until_ready(render(rv0).image)
+    gt = _tunnel_sync(render(rv0).image)
     _anchor_budget()
     _note("render compiled + gt done")
 
@@ -533,7 +542,7 @@ def main() -> None:
 
     # warmup / compile
     val, params = vg(params, gt)
-    jax.block_until_ready(val)
+    _tunnel_sync(val)
     _note("vg compiled")
 
     def run(iters):
@@ -541,7 +550,7 @@ def main() -> None:
         t0 = time.perf_counter()
         for _ in range(iters):
             val, params = vg(params, gt)
-        jax.block_until_ready(val)
+        _tunnel_sync(val)
         return time.perf_counter() - t0
 
     # two-point fit strips the tunnel's fixed per-sync cost (~30-40 ms)

@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from topo4d_tpu.utils.profiling import sync_value
+
 from topo4d_tpu.core.camera import make_camera
 from topo4d_tpu.opt.adam import adam_init
 from topo4d_tpu.rasterizer.pallas import (
@@ -84,7 +86,7 @@ def main(n=300_000, w=3840, h=2160):
     weights = {"im": jnp.asarray(1.0), "soft_color": jnp.asarray(0.02)}
 
     rv = dense_rendervars(params, means)
-    binning = jax.block_until_ready(binning_for(rv, cam, max_span=2))
+    binning = sync_value(binning_for(rv, cam, max_span=2))
     nonempty = int(jnp.sum(binning.tile_count > 0))
     entries = int(jnp.sum(binning.entry_valid))
     note(
@@ -109,13 +111,36 @@ def main(n=300_000, w=3840, h=2160):
             state, means, images, cams, vids, anchor, (), lr, weights,
             binnings,
         )
-        jax.block_until_ready(losses)
+        sync_value(losses)
         return time.perf_counter() - t0
 
     dt = marginal(run_scan)
     note(
         f"texture step (scan+frozen bin): {dt * 1e3:8.2f} ms "
         f"({dt * 301:.1f} s / 301-iter frame)"
+    )
+
+    # ---- split-pack: static frame-constant rows in the binning ----------
+    binning_s = sync_value(
+        binning_for(rv, cam, max_span=2, with_static=True)
+    )
+    binnings_s = jax.tree_util.tree_map(lambda x: x[None], binning_s)
+
+    def run_scan_s(iters):
+        nonlocal state
+        vids = jnp.zeros((iters,), jnp.int32)
+        t0 = time.perf_counter()
+        state, losses = multi(
+            state, means, images, cams, vids, anchor, (), lr, weights,
+            binnings_s,
+        )
+        sync_value(losses)
+        return time.perf_counter() - t0
+
+    dt_s = marginal(run_scan_s)
+    note(
+        f"texture step (split-pack):      {dt_s * 1e3:8.2f} ms "
+        f"({dt_s * 301:.1f} s / 301-iter frame)"
     )
 
     # ---- compact non-empty-tile mode ------------------------------------
@@ -135,7 +160,7 @@ def main(n=300_000, w=3840, h=2160):
             state, means, images, cams, vids, anchor, (), lr, weights,
             binnings,
         )
-        jax.block_until_ready(losses)
+        sync_value(losses)
         return time.perf_counter() - t0
 
     dt_c = marginal(run_scan_c)
@@ -166,7 +191,7 @@ def main(n=300_000, w=3840, h=2160):
         t0 = time.perf_counter()
         for _ in range(iters):
             val, p2 = render_vg(p2)
-        jax.block_until_ready(val)
+        sync_value(val)
         return time.perf_counter() - t0
 
     dt_r = marginal(run_render)
@@ -189,7 +214,7 @@ def main(n=300_000, w=3840, h=2160):
         t0 = time.perf_counter()
         for _ in range(iters):
             val, im0 = photo_vg(im0)
-        jax.block_until_ready(val)
+        sync_value(val)
         return time.perf_counter() - t0
 
     dt_p = marginal(run_photo)
@@ -199,7 +224,7 @@ def main(n=300_000, w=3840, h=2160):
     from topo4d_tpu.core.gaussian import project_gaussians
     from topo4d_tpu.rasterizer.tiles import pack_with_binning
 
-    proj = jax.block_until_ready(project_gaussians(rv, cam))
+    proj = sync_value(project_gaussians(rv, cam))
 
     @jax.jit
     def pack_vg(colors):
@@ -217,11 +242,33 @@ def main(n=300_000, w=3840, h=2160):
         t0 = time.perf_counter()
         for _ in range(iters):
             val, c0 = pack_vg(c0)
-        jax.block_until_ready(val)
+        sync_value(val)
         return time.perf_counter() - t0
 
     dt_k = marginal(run_pack)
     note(f"pack gather fwd+bwd:            {dt_k * 1e3:8.2f} ms")
+
+    @jax.jit
+    def pack_vg_s(colors):
+        def f(c):
+            bins = pack_with_binning(proj, c, rv.opacities, binning_s, 128)
+            return jnp.sum(bins.packed) * 1e-6
+
+        val, g = jax.value_and_grad(f)(colors)
+        return val, colors - 1e-12 * g
+
+    c0 = rv.colors
+
+    def run_pack_s(iters):
+        nonlocal c0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            val, c0 = pack_vg_s(c0)
+        sync_value(val)
+        return time.perf_counter() - t0
+
+    dt_ks = marginal(run_pack_s)
+    note(f"pack gather fwd+bwd (split):    {dt_ks * 1e3:8.2f} ms")
 
     note(
         "summary: step={:.1f} render={:.1f} photo={:.1f} pack={:.1f} "

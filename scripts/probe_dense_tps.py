@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from topo4d_tpu.utils.profiling import sync_value
+
 from topo4d_tpu.core.camera import make_camera
 from topo4d_tpu.rasterizer.pallas import binning_for, render_gaussians_pallas
 from topo4d_tpu.texture.dense import dense_rendervars
@@ -59,7 +61,7 @@ def main(n=300_000, w=3840, h=2160):
     cam = make_camera(k, w2c, w, h)
     means = jnp.asarray(pts)
     rv = dense_rendervars(params, means)
-    binning = jax.block_until_ready(binning_for(rv, cam, max_span=2))
+    binning = sync_value(binning_for(rv, cam, max_span=2))
     nonempty = int(jnp.sum(binning.tile_count > 0))
     cap = min(
         int(-(-int(nonempty * 1.25) // 2048) * 2048),
@@ -90,7 +92,7 @@ def main(n=300_000, w=3840, h=2160):
             t0 = time.perf_counter()
             for _ in range(iters):
                 val, p2 = render_vg(p2)
-            jax.block_until_ready(val)
+            sync_value(val)
             return time.perf_counter() - t0
 
         try:

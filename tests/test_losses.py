@@ -54,6 +54,38 @@ def test_ssim_matches_torch_reference():
     assert abs(got - expected) < 1e-5
 
 
+def test_pallas_blur_matches_shift_conv():
+    """The production SSIM window conv (Pallas separable blur) == the
+    shifted-slice oracle, values AND grads, aligned + ragged shapes.
+
+    The kernel's VJP is itself (symmetric taps + zero 'same' padding:
+    the conv is its own transpose) — checked against autodiff of the
+    oracle.
+    """
+    import jax
+
+    from topo4d_tpu.losses.blur_pallas import gauss_blur_pallas
+    from topo4d_tpu.losses.image import _shift_pass
+
+    def oracle(x):
+        return _shift_pass(_shift_pass(x, 1, 11, 1.5), 2, 11, 1.5)
+
+    rng = np.random.default_rng(0)
+    for shape in [(3, 37, 51), (15, 200, 300), (2, 128, 128)]:
+        x = jnp.asarray(rng.uniform(-1, 1, shape).astype(np.float32))
+        np.testing.assert_allclose(
+            gauss_blur_pallas(x, interpret=True), oracle(x),
+            rtol=1e-5, atol=1e-6,
+        )
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 40, 60)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(-1, 1, (2, 40, 60)).astype(np.float32))
+    g1 = jax.grad(
+        lambda a: jnp.sum(gauss_blur_pallas(a, interpret=True) * w)
+    )(x)
+    g2 = jax.grad(lambda a: jnp.sum(oracle(a) * w))(x)
+    np.testing.assert_allclose(g1, g2, rtol=1e-5, atol=1e-6)
+
+
 def test_ssim_identical_images():
     rng = np.random.default_rng(1)
     a = jnp.asarray(rng.uniform(0, 1, (3, 32, 32)).astype(np.float32))

@@ -146,16 +146,58 @@ def _banded_pass_mid(x: jnp.ndarray, window_size: int, sigma: float):
     return out.reshape(c, h, w)
 
 
+def _shift_pass(
+    x: jnp.ndarray, axis: int, window_size: int, sigma: float
+) -> jnp.ndarray:
+    """'same' zero-padded 1-D Gaussian conv as tap-weighted shifted slices.
+
+    XLA fuses the 11 slice+multiply+adds into one VPU pass — the
+    algorithmic 11 MACs per output element (the banded matmul form burns
+    3*128 per element on the MXU, 70x the FLOPs) and, decisively, full
+    f32: on TPU, einsum/matmul run at DEFAULT precision = bf16 MXU
+    inputs, which drifted the 4K SSIM value by ~1e-3 vs the torch
+    reference (scripts/probe_ssim.py); this form matches the reference
+    conv to f32 rounding on every backend.
+    """
+    g = _gaussian_1d(window_size, sigma)
+    half = window_size // 2
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (half, half)
+    xp = jnp.pad(x, pads)
+    n = x.shape[axis]
+    out = None
+    for k in range(window_size):
+        term = float(g[k]) * jax.lax.slice_in_dim(xp, k, k + n, axis=axis)
+        out = term if out is None else out + term
+    return out
+
+
 def _window_conv(
     img: jnp.ndarray, window_size: int = 11, sigma: float = 1.5
 ) -> jnp.ndarray:
-    """Depthwise 'same' Gaussian conv of (C, H, W) via banded matmuls.
+    """Depthwise 'same' Gaussian conv of (C, H, W).
 
-    Small axes use one dense Toeplitz matmul (launch overhead dominates);
-    large axes (the 4K texture phase) use the 128-block banded form —
-    identical coefficients, ~10-30x fewer FLOPs (the dense form costs
-    O(size) per output element, the banded one O(3*128)).
+    On accelerators: the Pallas separable-blur kernel (full f32 on the
+    VPU, one VMEM pass — the matmul forms ran at DEFAULT precision =
+    bf16 MXU inputs and drifted the 4K SSIM ~1e-3 vs the torch
+    reference; the XLA shift form is exact but leaves 11 unfused
+    temporaries, 73 ms vs banded's 46 ms at 4K fwd+bwd). On CPU: the
+    shifted-slice form (same math; also the kernel's test oracle).
     """
+    if jax.default_backend() != "cpu":
+        from topo4d_tpu.losses.blur_pallas import gauss_blur_pallas
+
+        return gauss_blur_pallas(img, window_size, sigma)
+    out = _shift_pass(img, 1, window_size, sigma)
+    return _shift_pass(out, 2, window_size, sigma)
+
+
+def _window_conv_banded(
+    img: jnp.ndarray, window_size: int = 11, sigma: float = 1.5
+) -> jnp.ndarray:
+    """The former matmul form (dense Toeplitz under 512, 128-block banded
+    above), kept for probes/comparison. On TPU its einsums run at
+    DEFAULT matmul precision (bf16 MXU inputs) — ~1e-3 SSIM drift."""
     c, h, w = img.shape
 
     def pass_axis(x, size, last):

@@ -95,6 +95,25 @@ def device_trace(logdir: Optional[str] = None) -> Iterator[bool]:
             print(f"[topo4d] profiler stop_trace failed: {exc}")
 
 
+def sync_value(x):
+    """Hard synchronization point for timing loops; returns ``x``.
+
+    ``jax.block_until_ready`` through the remote-execution tunnel can
+    return before the device has executed (observed after the
+    2026-08-20 tunnel outage: 25-step scans "completed" in 0.2 ms while
+    a forced scalar download showed the real 30 ms). A device->host
+    download of one element cannot be acknowledged early — the value
+    must exist — so this pulls one element of the first array leaf,
+    then returns the (now materialized) input like block_until_ready.
+    """
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    flat = leaf.reshape(-1) if getattr(leaf, "ndim", 0) else leaf
+    float(jax.device_get(flat[-1] if getattr(leaf, "ndim", 0) else flat))
+    return x
+
+
 def mpix_per_s(
     height: int, width: int, iterations: int, seconds: float
 ) -> float:
