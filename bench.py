@@ -376,8 +376,12 @@ def _bench_dense_texture() -> None:
     weights = {"im": jnp.asarray(1.0), "soft_color": jnp.asarray(0.02)}
     vid = jnp.asarray(0, jnp.int32)
 
+    # with_static = the production split-pack (texture.split_pack)
     binning = _tunnel_sync(
-        binning_for(dense_rendervars(params, means), cam, max_span=2)
+        binning_for(
+            dense_rendervars(params, means), cam, max_span=2,
+            with_static=True,
+        )
     )
     nonempty = int(jnp.sum(binning.tile_count > 0))
     cap = int(-(-int(nonempty * 1.25) // 2048) * 2048)

@@ -33,8 +33,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from topo4d_tpu.losses.image import _gaussian_1d
 
-BH = 64  # output rows per grid step (128 overflows scoped VMEM at 4K)
 LANE = 128
+
+
+def _block_rows(w_in: int) -> int:
+    """Output rows per grid step, sized to the scoped-VMEM budget.
+
+    Measured footprint scales ~34 B per (row x input-lane) cell
+    (buf + mid + double-buffered out block + accumulation temporaries:
+    BH=128 at w_in=3968 hit 17.3 MB against the 16 MB scoped limit;
+    BH=64 fits). Small widths (the 512x375 geometry phase) take tall
+    blocks — fewer grid steps, less per-step overhead.
+    """
+    bh = int(14_400_000 / (34 * w_in)) // 64 * 64
+    return max(64, min(512, bh))
 
 
 def _blur_kernel(taps, bh: int, w_in: int, w_out: int, halo: int):
@@ -85,19 +97,20 @@ def _blur_padded(xp, w_out: int, window_size: int, sigma: float,
     half = window_size // 2
     halo = 2 * half + ((-2 * half) % 8)  # 8-row aligned DMA size
     c, hp, w_in = xp.shape
-    n_h = (hp - halo) // BH
+    bh = _block_rows(w_in)
+    n_h = (hp - halo) // bh
     return pl.pallas_call(
-        _blur_kernel(taps, BH, w_in, w_out, halo),
+        _blur_kernel(taps, bh, w_in, w_out, halo),
         grid=(c, n_h),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, BH, w_out), lambda ci, hi: (ci, hi, 0),
+            (1, bh, w_out), lambda ci, hi: (ci, hi, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((c, n_h * BH, w_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c, n_h * bh, w_out), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((BH + halo, w_in), jnp.float32),
-            pltpu.VMEM((BH, w_in), jnp.float32),
+            pltpu.VMEM((bh + halo, w_in), jnp.float32),
+            pltpu.VMEM((bh, w_in), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
@@ -121,10 +134,11 @@ def gauss_blur_pallas(
     # taps cannot influence the cropped [:, :w] region)
     wp = w + ((-w) % LANE)
     # rows: top halo `half`; bottom pad so every block's 8-aligned
-    # (BH + halo)-row read stays in bounds
+    # (bh + halo)-row read stays in bounds
     halo = 2 * half + ((-2 * half) % 8)
-    n_h = -(-h // BH)
-    bottom = n_h * BH + halo - half - h
+    bh = _block_rows(wp + LANE)
+    n_h = -(-h // bh)
+    bottom = n_h * bh + halo - half - h
     xp = jnp.pad(
         x,
         (

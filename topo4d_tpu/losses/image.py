@@ -177,14 +177,17 @@ def _window_conv(
 ) -> jnp.ndarray:
     """Depthwise 'same' Gaussian conv of (C, H, W).
 
-    On accelerators: the Pallas separable-blur kernel (full f32 on the
-    VPU, one VMEM pass — the matmul forms ran at DEFAULT precision =
-    bf16 MXU inputs and drifted the 4K SSIM ~1e-3 vs the torch
-    reference; the XLA shift form is exact but leaves 11 unfused
-    temporaries, 73 ms vs banded's 46 ms at 4K fwd+bwd). On CPU: the
-    shifted-slice form (same math; also the kernel's test oracle).
+    Both forms are exact f32 (the former matmul forms ran at DEFAULT
+    precision = bf16 MXU inputs and drifted the 4K SSIM ~1e-3 vs the
+    torch reference). Large images on accelerators take the Pallas
+    separable-blur kernel (one VMEM pass; the XLA shift form leaves 11
+    unfused temporaries there — 73 vs 29 ms at 4K fwd+bwd). Small
+    images (the 512x375 geometry phase) and CPU take the shifted-slice
+    form, which at that size beats the kernel's fixed launch cost
+    (0.25 vs 0.29 ms) and doubles as the kernel's test oracle.
     """
-    if jax.default_backend() != "cpu":
+    c, h, w = img.shape
+    if jax.default_backend() != "cpu" and h * w > 1_000_000:
         from topo4d_tpu.losses.blur_pallas import gauss_blur_pallas
 
         return gauss_blur_pallas(img, window_size, sigma)
