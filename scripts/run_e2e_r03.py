@@ -28,6 +28,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)  # resume.pkl holds topo4d_tpu NamedTuples
 KILL_AT = 9  # kill once frame index 9 (10th frame) is summarized
 
 
@@ -68,6 +69,13 @@ def main():
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
 
     # ---- phase 1: run until frame KILL_AT lands, then SIGKILL ---------
+    already = summarized_frames(metrics_path)
+    if KILL_AT in already:
+        # a previous driver invocation already did the kill (idempotent
+        # re-entry after a driver-side failure)
+        print("[e2e] phase 1 already done (frames:", len(already), ")",
+              flush=True)
+        return finish(root, out, frames, seq, metrics_path, env)
     print("[e2e] phase 1: fit until frame", KILL_AT, flush=True)
     p = subprocess.Popen(cli_cmd(root, out, frames), env=env, cwd=REPO)
     try:
@@ -87,6 +95,10 @@ def main():
         if p.poll() is None:
             p.kill()
 
+    return finish(root, out, frames, seq, metrics_path, env)
+
+
+def finish(root, out, frames, seq, metrics_path, env):
     # note the checkpointed frame before resume
     import pickle
 

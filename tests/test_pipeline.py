@@ -294,6 +294,15 @@ def test_resume_mid_sequence_with_texture(tmp_path):
     out = os.path.join(cfg.data.output_dir, cfg.data.exp, cfg.data.seq)
     assert os.path.exists(os.path.join(out, "000002", "face.png"))
     assert load_resume(out)["frame"] == 2
+    # resume must preserve the pre-resume frames' metrics history (the
+    # log is rewritten whole each frame; r3 e2e caught it dropping them)
+    import json as _json
+
+    rows_log = [
+        _json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))
+    ]
+    frames_logged = {r["frame"] for r in rows_log if r.get("summary")}
+    assert frames_logged == {0, 1}, frames_logged
 
 
 def test_batched_mode_trains_full_schedule(tmp_path):

@@ -736,6 +736,19 @@ class Trainer:
                     self.texture_state = jax.tree_util.tree_map(
                         jnp.asarray, payload["texture_state"]
                     )
+                # metrics.jsonl is rewritten from metrics_log each frame;
+                # without reloading, a resume would silently drop the
+                # pre-resume frames' history from the artifact
+                mpath = os.path.join(self._out_dir, "metrics.jsonl")
+                if io and not self.metrics_log and os.path.exists(mpath):
+                    with open(mpath) as fh:
+                        for line in fh:
+                            try:
+                                row = json.loads(line)
+                            except json.JSONDecodeError:
+                                continue  # torn tail from a hard kill
+                            if row.get("frame", 1 << 30) < start_frame:
+                                self.metrics_log.append(row)
 
         # frame IO prefetch: decode frame t+1's images (24 views, 4K at
         # texture res) on a worker thread while the device fits frame t
