@@ -149,6 +149,11 @@ def run_res(w, h, quick=False, variants_sel=("banded", "shift")):
         # matches the torch reference); on CPU both agree to 2e-9
         assert abs(v_banded - v_shift) < 2e-3
 
+    if "noremat" in sys.argv and "pallas" in variants:
+        # without jax.checkpoint: the blur kernel's custom VJP saves no
+        # residuals, so remat's re-forward may be pure overhead now
+        variants = {"pallas_noremat": variants["pallas"]}
+
     for name, loss in variants.items():
         if not quick:
             @functools.partial(jax.jit, static_argnums=(2,))
@@ -174,7 +179,10 @@ def run_res(w, h, quick=False, variants_sel=("banded", "shift")):
             note(f"{name:7s} fwd:      {dt * 1e3:7.2f} ms")
 
         # fwd+bwd with remat, like the dense loss
-        vg = jax.value_and_grad(jax.checkpoint(loss))
+        if name.endswith("noremat"):
+            vg = jax.value_and_grad(loss)
+        else:
+            vg = jax.value_and_grad(jax.checkpoint(loss))
 
         @functools.partial(jax.jit, static_argnums=(2,))
         def vg_n(im, gt, steps, vg=vg):

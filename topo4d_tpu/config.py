@@ -215,6 +215,12 @@ class TextureConfig:
     # render's num_overflow — size generously (the trainer warns if a
     # frame ever overflows)
     tile_capacity: int = 0
+    # rematerialize the dense photometric loss in backward. OFF by
+    # default since r3: the Pallas blur kernel's custom VJP saves no
+    # conv residuals, so remat's re-forward is pure overhead (29.2 vs
+    # 20.9 ms at 4K measured) at a ~2 GB residual-memory cost that fits
+    # HBM comfortably; turn on for memory-constrained configs
+    remat_photometric: bool = False
     # split-pack (pallas backend, frozen-binning dense loop): gather only
     # the per-step LEARNED packed rows (conics from the learning
     # rotations + colors); means2d/depth/opacity are frame constants

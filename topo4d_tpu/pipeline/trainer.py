@@ -555,10 +555,12 @@ class Trainer:
             # mid-sequence resume (restored texture_state) still gets them
             dense_render = make_dense_render_fn(cfg)
             self.texture_step = make_texture_step(
-                dense_render, use_mask, cfg.data.cmap_index
+                dense_render, use_mask, cfg.data.cmap_index,
+                remat=cfg.texture.remat_photometric,
             )
             self.texture_multi_step = make_texture_multi_step(
-                dense_render, use_mask, cfg.data.cmap_index
+                dense_render, use_mask, cfg.data.cmap_index,
+                remat=cfg.texture.remat_photometric,
             )
             self._texture_masked = use_mask
             self._dense_pre = build_dense_pre_constraints(

@@ -53,6 +53,7 @@ def _build_texture_step_impl(
     render_fn: Callable,
     use_mask: bool = False,
     cmap_index: Optional[Dict[str, int]] = None,
+    remat: bool = False,
 ) -> Callable:
     """Texture iteration body: zero-region scatters -> render -> loss ->
     Adam (reference train.py:729-741, incl. the pre-step color zeroing).
@@ -83,10 +84,14 @@ def _build_texture_step_impl(
                 jnp.sum(m), 1.0
             )
         else:
-            # remat: at 4K the SSIM intermediates alone are ~1.5 GB of
-            # saved residuals; recomputing them in backward keeps the
-            # texture phase inside HBM
-            im_loss = jax.checkpoint(photometric_loss)(out.image, gt)
+            # remat (texture.remat_photometric) trades ~2 GB of saved
+            # SSIM residuals for a re-forward; OFF by default since the
+            # Pallas blur VJP saves nothing (29.2 vs 20.9 ms at 4K)
+            photo = (
+                jax.checkpoint(photometric_loss) if remat
+                else photometric_loss
+            )
+            im_loss = photo(out.image, gt)
         losses = {
             "im": im_loss,
             "soft_color": l1_loss_sum_last(
@@ -137,10 +142,11 @@ def make_texture_step(
     render_fn: Callable,
     use_mask: bool = False,
     cmap_index: Optional[Dict[str, int]] = None,
+    remat: bool = False,
 ) -> Callable:
     """Single-iteration jitted texture step (see the impl docstring)."""
     return jax.jit(
-        _build_texture_step_impl(render_fn, use_mask, cmap_index),
+        _build_texture_step_impl(render_fn, use_mask, cmap_index, remat),
         static_argnames=("with_metrics",),
     )
 
@@ -149,6 +155,7 @@ def make_texture_multi_step(
     render_fn: Callable,
     use_mask: bool = False,
     cmap_index: Optional[Dict[str, int]] = None,
+    remat: bool = False,
 ) -> Callable:
     """Scanned texture segment: one dispatch for a run of iterations.
 
@@ -158,7 +165,7 @@ def make_texture_multi_step(
     dense loss is on. Semantics match looping the single step with
     metrics off.
     """
-    step_impl = _build_texture_step_impl(render_fn, use_mask, cmap_index)
+    step_impl = _build_texture_step_impl(render_fn, use_mask, cmap_index, remat)
 
     @jax.jit
     def multi_step(
