@@ -386,6 +386,13 @@ def _bench_dense_texture() -> None:
     nonempty = int(jnp.sum(binning.tile_count > 0))
     cap = int(-(-int(nonempty * 1.25) // 2048) * 2048)
     cap = min(cap, int(binning.tile_count.shape[0]))
+    # freeze the compact tile list too (production binning_for path)
+    binning = _tunnel_sync(
+        binning_for(
+            dense_rendervars(params, means), cam, max_span=2,
+            with_static=True, tile_capacity=cap,
+        )
+    )
     RESULT["tex_nonempty_tiles"] = nonempty
     RESULT["tex_tile_capacity"] = cap
     _note(f"dense binning ready ({nonempty} tiles, cap {cap})")

@@ -97,6 +97,14 @@ def main(w=3840, h=2160):
     # 0.4649625, delta 9.8e-4 — the banded einsums' DEFAULT-precision
     # bf16 MXU inputs).
     quick = "full" not in sys.argv
+    if "stack24" in sys.argv:
+        # the batched geometry mode's photometric over all 24 views as
+        # ONE stacked-channel loss (mathematically identical to the
+        # per-view mean) — does the conv overhead amortize?
+        note("==== stacked 24 views x 3ch @ 512x375 ====")
+        run_res(512, 375, quick=True, variants_sel=("shift", "pallas"),
+                channels=72)
+        return
     sel = ("banded", "shift", "pallas")
     if "pallas_only" in sys.argv:
         sel = ("pallas",)
@@ -107,10 +115,15 @@ def main(w=3840, h=2160):
             else ("shift", "pallas"))
 
 
-def run_res(w, h, quick=False, variants_sel=("banded", "shift")):
+def run_res(w, h, quick=False, variants_sel=("banded", "shift"),
+            channels=3):
     rng = np.random.default_rng(0)
-    gt = jnp.asarray(rng.uniform(0, 1, (3, h, w)).astype(np.float32))
-    im0 = jnp.asarray(rng.uniform(0, 1, (3, h, w)).astype(np.float32))
+    gt = jnp.asarray(
+        rng.uniform(0, 1, (channels, h, w)).astype(np.float32)
+    )
+    im0 = jnp.asarray(
+        rng.uniform(0, 1, (channels, h, w)).astype(np.float32)
+    )
 
     def photom(fn):
         def loss(im, gt):

@@ -154,6 +154,32 @@ def test_texture_step_split_pack_matches_full(dense_setup):
     np.testing.assert_allclose(p_split, p_full, rtol=1e-6)
 
 
+def test_frozen_compact_tiles_match_per_step(dense_setup):
+    """binning_for(tile_capacity=...) == per-step compact computation.
+
+    The compact argsort over the tile canvas is a per-frame constant
+    under a frozen binning; freezing it must not change a pixel.
+    """
+    params, cams, means, gt = dense_setup
+    rv = dense_rendervars(params, means)
+    cap = 4  # below the 48x32 canvas's 6 tiles so compact mode engages
+    plain = binning_for(rv, cams[0], max_span=8)
+    frozen = binning_for(rv, cams[0], max_span=8, tile_capacity=cap)
+    assert frozen.compact is not None
+    out_plain = render_gaussians_pallas(
+        rv, cams[0], max_span=8, chunk=128, interpret=True,
+        binning=plain, tile_capacity=cap,
+    )
+    out_frozen = render_gaussians_pallas(
+        rv, cams[0], max_span=8, chunk=128, interpret=True,
+        binning=frozen, tile_capacity=cap,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_frozen.image), np.asarray(out_plain.image)
+    )
+    assert int(out_frozen.num_overflow) == int(out_plain.num_overflow)
+
+
 def test_texture_step_masked_loss(dense_setup):
     """use_mask_dense: masked L1 over parsing regions (train.py:392-405)."""
     from topo4d_tpu.config import DEFAULT_CMAP_INDEX

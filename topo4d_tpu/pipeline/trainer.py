@@ -601,7 +601,8 @@ class Trainer:
 
             def fresh_binning(v):
                 # split_pack: capture the frame-constant packed rows so
-                # each step gathers only the learned conic+color rows
+                # each step gathers only the learned conic+color rows;
+                # with a tile_capacity also freeze the compact tile list
                 return binning_for(
                     dense_rendervars(
                         self.texture_state.params, self.dense_means3d
@@ -610,6 +611,7 @@ class Trainer:
                     max_span=cfg.raster.max_span,
                     with_static=cfg.texture.split_pack,
                     chunk=cfg.raster.chunk,
+                    tile_capacity=cfg.texture.tile_capacity or None,
                 )
 
         num_iters = cfg.schedule.dense_opt_num

@@ -69,9 +69,17 @@ def _render_pallas_impl(
         # compact mode: blend only the non-empty tiles (at 4K most of
         # the canvas is empty background), then scatter into an empty
         # template whose rows composite to pure background
-        ids, cstart, ccount, tile_overflow = compact_nonempty_tiles(
-            bins.tile_start, bins.tile_count, tile_capacity
-        )
+        if (
+            binning.compact is not None
+            and binning.compact.ids.shape[0] == tile_capacity
+        ):
+            # frozen with the binning: the per-step argsort over the
+            # full tile canvas is a per-frame constant there
+            ids, cstart, ccount, tile_overflow = binning.compact
+        else:
+            ids, cstart, ccount, tile_overflow = compact_nonempty_tiles(
+                bins.tile_start, bins.tile_count, tile_capacity
+            )
         out_c = pallas_blend(
             bins.packed, cstart, ccount, tiles_x, tiles_y, chunk,
             interpret, num_tiles=tile_capacity, variant=variant,
@@ -410,7 +418,8 @@ def render_gaussians_pallas_tile_sharded(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_span", "with_static", "chunk")
+    jax.jit,
+    static_argnames=("max_span", "with_static", "chunk", "tile_capacity"),
 )
 def binning_for(
     rv: GaussianRenderVars,
@@ -418,6 +427,7 @@ def binning_for(
     max_span: int = 4,
     with_static: bool = False,
     chunk: int = 128,
+    tile_capacity: Optional[int] = None,
 ):
     """Compute the reusable frozen binning for the current geometry.
 
@@ -427,8 +437,16 @@ def binning_for(
     ``with_static`` (dense texture loop): additionally capture the
     frame-constant packed rows (``tiles.pack_static_rows``) so each step
     gathers only the learned conic+color rows (``texture.split_pack``).
+
+    ``tile_capacity``: additionally freeze the compact non-empty-tile
+    list (``tiles.CompactTiles``) — the per-step canvas argsort of
+    compact-mode renders is a per-frame constant under a frozen binning.
     """
-    from topo4d_tpu.rasterizer.tiles import pack_static_rows
+    from topo4d_tpu.rasterizer.tiles import (
+        CompactTiles,
+        compact_nonempty_tiles,
+        pack_static_rows,
+    )
 
     proj = project_gaussians(rv, cam)
     b = compute_binning(
@@ -443,4 +461,14 @@ def binning_for(
                 chunk,
             )
         )
+    if tile_capacity is not None:
+        t = b.tile_count.shape[0]
+        if tile_capacity < t:  # capacity >= T means compact mode is off
+            b = b._replace(
+                compact=CompactTiles(
+                    *compact_nonempty_tiles(
+                        b.tile_start, b.tile_count, tile_capacity
+                    )
+                )
+            )
     return b

@@ -152,6 +152,21 @@ def bin_gaussians_packed(
     )
 
 
+class CompactTiles(NamedTuple):
+    """Frozen compact-mode tile list (``compact_nonempty_tiles`` output).
+
+    Under a frozen binning the per-tile ranges are constants, so the
+    compact argsort over the full tile canvas (32,400 rows at 4K, every
+    step) can be taken once at binning time (``binning_for``'s
+    ``tile_capacity``).
+    """
+
+    ids: jnp.ndarray  # (capacity,) int32 tile ids (T = padding)
+    start: jnp.ndarray  # (capacity,) int32
+    count: jnp.ndarray  # (capacity,) int32
+    overflow: jnp.ndarray  # () int32 dropped non-empty tiles
+
+
 class Binning(NamedTuple):
     """Frozen binning: the entry permutation + tile ranges, values-free.
 
@@ -181,6 +196,9 @@ class Binning(NamedTuple):
     # (``pack_static_rows``). When present, ``pack_with_binning`` gathers
     # only the six learned rows (conics + colors) per step.
     static_rows: Optional[jnp.ndarray] = None  # (6, E_pad) f32
+    # frozen compact-tile list for ``tile_capacity`` renders (the
+    # capacity is implied by ids.shape[0])
+    compact: Optional[CompactTiles] = None
 
 
 def depth_sorted_order(proj: Projected) -> jnp.ndarray:
