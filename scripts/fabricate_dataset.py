@@ -19,7 +19,8 @@ import numpy as np
 
 
 def fabricate(root, num_views=4, num_frames=2, rows=10, cols=10,
-              work_w=48, work_h=32, ratio=8, motion_scale=0.002):
+              work_w=48, work_h=32, ratio=8, motion_scale=0.002,
+              dense_tree=True):
     import jax.numpy as jnp
     from PIL import Image
 
@@ -156,6 +157,9 @@ def fabricate(root, num_views=4, num_frames=2, rows=10, cols=10,
                 os.path.join(mdir, f"view{v:02d}.png")
             )
 
+    if not dense_tree:  # geometry-only sequences skip the big renders
+        print(f"fabricated dataset at {root} (no dense tree)")
+        return
     # full-resolution tree for the texture phase (-did <root>_dense):
     # dense cameras are the working ones with intrinsics scaled by `ratio`
     from topo4d_tpu.core.camera import Camera

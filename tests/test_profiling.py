@@ -53,3 +53,28 @@ def test_device_trace_enabled(tmp_path, monkeypatch):
 def test_mpix_per_s():
     assert mpix_per_s(1000, 1000, 10, 2.0) == 5.0
     assert mpix_per_s(100, 100, 1, 0.0) == 0.0
+
+
+def test_phase_timer_load_folds_prior(tmp_path):
+    """timer.load: a resumed run's profile keeps pre-resume phases."""
+    from topo4d_tpu.utils.profiling import PhaseTimer
+
+    t1 = PhaseTimer()
+    t1.add("geometry", 2.0)
+    t1.add("export", 1.0)
+    path = str(tmp_path / "timings.json")
+    t1.write(path)
+
+    t2 = PhaseTimer()  # fresh process after a kill
+    t2.load(path)
+    t2.add("geometry", 3.0)
+    s = t2.summary()
+    assert s["geometry"]["seconds"] == 5.0
+    assert s["geometry"]["count"] == 2
+    assert s["export"]["seconds"] == 1.0
+    # corrupt file: load is a no-op
+    bad = tmp_path / "bad.json"
+    bad.write_text("{oops")
+    t3 = PhaseTimer()
+    t3.load(str(bad))
+    assert t3.summary() == {}

@@ -743,6 +743,10 @@ class Trainer:
                 # metrics.jsonl is rewritten from metrics_log each frame;
                 # without reloading, a resume would silently drop the
                 # pre-resume frames' history from the artifact
+                if io:
+                    self.timer.load(
+                        os.path.join(self._out_dir, "timings.json")
+                    )
                 mpath = os.path.join(self._out_dir, "metrics.jsonl")
                 if io and not self.metrics_log and os.path.exists(mpath):
                     with open(mpath) as fh:

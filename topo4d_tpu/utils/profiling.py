@@ -65,6 +65,21 @@ class PhaseTimer:
         with open(path, "w") as fh:
             json.dump(self.summary(), fh, indent=2)
 
+    def load(self, path: str) -> None:
+        """Fold a previously written timings.json back in (resume path:
+        the trainer rewrites the file whole, so without this a resumed
+        run's profile silently drops the pre-resume frames)."""
+        if not os.path.exists(path):
+            return
+        try:
+            with open(path) as fh:
+                prior = json.load(fh)
+        except (json.JSONDecodeError, OSError):
+            return  # torn file from a hard kill: start fresh
+        for name, row in prior.items():
+            self._total[name] = self._total.get(name, 0.0) + row["seconds"]
+            self._count[name] = self._count.get(name, 0) + row["count"]
+
 
 @contextlib.contextmanager
 def device_trace(logdir: Optional[str] = None) -> Iterator[bool]:
