@@ -256,3 +256,53 @@ def test_texture_step_tile_sharded_matches_single(dense_setup):
         np.asarray(state_p.params["dense_rgb_colors"]),
         rtol=1e-4, atol=1e-6,
     )
+
+
+def test_compact_capacity_implied_by_binning(dense_setup):
+    """Auto tile capacity (texture.tile_capacity = -1, VERDICT r3 item 7):
+    a frozen binning carrying a compact tile list engages compact-mode
+    blending WITHOUT the static tile_capacity argument — capacity is
+    implied by the list's shape (attach_compact output) — and matches
+    both the explicit-capacity render and the full-canvas render when
+    the capacity covers every occupied tile."""
+    from topo4d_tpu.rasterizer.pallas import attach_compact
+    from topo4d_tpu.testing import make_synthetic_camera
+
+    params, cams0, means, gt = dense_setup
+    # wider canvas than the fixture's (its 6 tiles are all occupied):
+    # compact mode needs empty background tiles to skip
+    cam = make_synthetic_camera(width=160, height=96)
+    cams = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], cam)
+    rv = dense_rendervars(params, means)
+    plain = binning_for(rv, cams[0], max_span=8)
+    occ = int(np.sum(np.asarray(plain.tile_count) > 0))
+    t = int(plain.tile_count.shape[0])
+    assert occ + 1 < t, (occ, t)
+    cap = occ + 1  # engage compact mode, no dropped tiles
+    frozen = attach_compact(plain, cap)
+    assert frozen.compact is not None
+    assert frozen.compact.ids.shape[0] == cap
+
+    out_implied = render_gaussians_pallas(
+        rv, cams[0], max_span=8, chunk=128, interpret=True,
+        binning=frozen,  # no tile_capacity arg
+    )
+    out_explicit = render_gaussians_pallas(
+        rv, cams[0], max_span=8, chunk=128, interpret=True,
+        binning=frozen, tile_capacity=cap,
+    )
+    out_full = render_gaussians_pallas(
+        rv, cams[0], max_span=8, chunk=128, interpret=True,
+        binning=plain,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_implied.image), np.asarray(out_explicit.image)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_implied.image), np.asarray(out_full.image)
+    )
+    assert int(out_implied.num_overflow) == 0
+
+    # attach_compact at canvas size leaves compact mode off
+    same = attach_compact(plain, t)
+    assert same.compact is None

@@ -268,3 +268,90 @@ def test_tile_sharded_render_matches_single_device():
         np.testing.assert_allclose(
             b / scale, a / scale, rtol=1e-4, atol=1e-6, err_msg=k
         )
+
+
+def test_tile_sharded_compact_matches_single_device():
+    """The production multi-chip dense composition (VERDICT r3 item 5):
+    frozen binning + split-pack static rows + compact non-empty-tile
+    list, tile-sharded over 8 devices — pixels and parameter gradients
+    must match the single-device compact render."""
+    from jax.sharding import Mesh
+    from topo4d_tpu.rasterizer.pallas import (
+        attach_compact,
+        binning_for,
+        render_gaussians_pallas,
+        render_gaussians_pallas_tile_sharded,
+    )
+    from topo4d_tpu.testing import make_synthetic_camera, make_synthetic_scene
+
+    params = {
+        k: jnp.asarray(v)
+        for k, v in make_synthetic_scene(
+            n=160, seed=11, spread=0.12
+        ).items()
+    }
+    cam = make_synthetic_camera(width=192, height=96)  # 12x6 = 72 tiles
+    mesh = Mesh(np.array(jax.devices()[:8]), ("tile",))
+    bg = jnp.asarray([0.05, 0.1, 0.15])
+
+    rv = activate_params(params)
+    plain = binning_for(rv, cam, max_span=4, with_static=True)
+    occ = int(np.sum(np.asarray(plain.tile_count) > 0))
+    t = int(plain.tile_count.shape[0])
+    assert occ + 1 < t, (occ, t)
+    frozen = attach_compact(plain, occ + 1)
+    assert frozen.compact is not None and frozen.static_rows is not None
+
+    single = render_gaussians_pallas(
+        rv, cam, bg=bg, max_span=4, chunk=128, interpret=True,
+        binning=frozen,
+    )
+    sharded = render_gaussians_pallas_tile_sharded(
+        rv, cam, mesh, bg=bg, max_span=4, chunk=128, interpret=True,
+        binning=frozen,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.image), np.asarray(single.image),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.depth), np.asarray(single.depth),
+        rtol=1e-5, atol=1e-6,
+    )
+    assert int(sharded.num_overflow) == 0
+
+    rng = np.random.default_rng(5)
+    target = jnp.asarray(rng.uniform(0, 1, (3, 96, 192)).astype(np.float32))
+
+    def loss(params, renderer):
+        out = renderer(activate_params(params))
+        return jnp.mean(jnp.abs(out.image - target))
+
+    g_single = jax.grad(loss)(
+        params,
+        lambda rv: render_gaussians_pallas(
+            rv, cam, bg=bg, max_span=4, chunk=128, interpret=True,
+            binning=frozen,
+        ),
+    )
+    g_sharded = jax.grad(loss)(
+        params,
+        lambda rv: render_gaussians_pallas_tile_sharded(
+            rv, cam, mesh, bg=bg, max_span=4, chunk=128, interpret=True,
+            binning=frozen,
+        ),
+    )
+    for k in g_single:
+        a, b = np.asarray(g_single[k]), np.asarray(g_sharded[k])
+        scale = np.maximum(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(
+            b / scale, a / scale, rtol=1e-4, atol=1e-6, err_msg=k
+        )
+
+    # dropped tiles still surface through the counter when under-sized
+    under = attach_compact(plain, max(1, occ - 2))
+    out_under = render_gaussians_pallas_tile_sharded(
+        rv, cam, mesh, bg=bg, max_span=4, chunk=128, interpret=True,
+        binning=under,
+    )
+    assert int(out_under.num_overflow) > 0

@@ -471,3 +471,73 @@ def test_config_file_not_clobbered_by_default_flags(tmp_path):
     out2 = config_from_args(args2)
     assert out2.schedule.frame_num == 7
     assert out2.data.use_mask is False and out2.data.use_mask_dense is False
+
+
+def test_texture_auto_tile_capacity(tmp_path):
+    """texture.tile_capacity = -1 (default): the trainer sizes the
+    compact-tile capacity from the frame's exact binning occupancy
+    (VERDICT r3 item 7) — compact blending default-on, zero overflow,
+    and the same outputs as the uncapped path."""
+    rows = cols = 8
+    verts, faces = make_grid_mesh(rows, cols, extent=0.5)
+    n = verts.shape[0]
+    uvs = np.stack(
+        np.meshgrid(
+            np.linspace(0.05, 0.95, cols), np.linspace(0.05, 0.95, rows),
+            indexing="xy",
+        ),
+        -1,
+    ).reshape(-1, 2).astype(np.float32)
+    mesh = MeshObj(
+        vertices=verts, uvs=uvs, faces=faces,
+        uv_faces=[list(f) for f in faces],
+    )
+    regions = make_synthetic_regions(n, faces)
+
+    def run(cap):
+        cfg = Config()
+        cfg.data.output_dir = str(tmp_path / f"out_{cap}")
+        cfg.data.use_mask = False
+        cfg.schedule.frame_num = 1
+        cfg.schedule.init_opt_num = 4
+        cfg.schedule.opt_num = 3
+        cfg.schedule.polish_iters = 1
+        cfg.schedule.log_freq = 3
+        cfg.schedule.dense_opt_num = 3
+        cfg.schedule.dense_log_freq = 2
+        cfg.raster.backend = "pallas"
+        cfg.raster.interpret = True
+        cfg.raster.max_span = 8
+        cfg.texture.gen_tex = True
+        cfg.texture.density = 2
+        cfg.texture.tex_res = 32
+        cfg.texture.bake_window = 16
+        cfg.texture.bake_bands = 2
+        cfg.texture.tile_capacity = cap
+        params, statics = build_scene(mesh, regions, cfg, num_views=2)
+        cams = make_camera_ring(2, width=384, height=192, distance=2.0)
+        source = SyntheticSequence(
+            params=params, cameras=cams, num_frames=1
+        )
+        tr = Trainer(cfg, source, params, statics)
+        tr.run(resume=False)
+        return tr
+
+    assert Config().texture.tile_capacity == -1  # auto is the default
+    tr_auto = run(-1)
+    tr_off = run(0)
+    # auto sized a real capacity BELOW the canvas (384x192 -> 288
+    # tiles), so compact-mode blending actually engaged
+    assert 0 < tr_auto._auto_tile_cap < 288
+    tex_rows = [
+        r for r in tr_auto.metrics_log if "tex_num_tile_overflow" in r
+    ]
+    assert tex_rows and all(
+        r["tex_num_tile_overflow"] == 0 for r in tex_rows
+    )
+    # same texture optimization results as the uncapped path
+    np.testing.assert_allclose(
+        np.asarray(tr_auto.texture_state.params["dense_rgb_colors"]),
+        np.asarray(tr_off.texture_state.params["dense_rgb_colors"]),
+        rtol=1e-6, atol=1e-7,
+    )

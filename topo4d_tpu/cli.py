@@ -51,11 +51,14 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(CPU-testable end-to-end).")
     p.add_argument("--views_per_step", type=int, default=1,
                    help="1 = reference parity; 0 = all views batched.")
-    p.add_argument("--track_rebin_freq", type=int, default=25,
+    p.add_argument("--track_rebin_freq", type=int, default=-1,
                    help="Scanned geometry segments reuse per-view "
                         "binnings for up to this many steps (pallas; "
                         "0 = fresh binning every render, the reference's "
-                        "exact semantics).")
+                        "exact semantics). Default -1 = auto: 0 in "
+                        "parity mode (--views_per_step 1), 25 in the "
+                        "batched all-views mode where the approximation "
+                        "is validated.")
     p.add_argument("--no_resume", action="store_true")
     p.add_argument("--no_mask", action="store_true",
                    help="Disable face-parsing masks even if configured on.")

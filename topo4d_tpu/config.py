@@ -120,12 +120,33 @@ class RasterizerConfig:
     # segment entry (track LRs move means ~1.6e-5/step, so the duplicate
     # -and-sort permutation is stable over tens of steps; drift is bounded
     # by re-binning at segment entry). 0 = off — fresh binning every
-    # render (exact, the reference's semantics). Applies to the scanned
-    # single-view parity path and the scanned batched all-views path;
-    # validated by tests/test_geo_rebin.py (exact when geometry LRs are
-    # zero; trajectory-matching at the reference track LRs). Measured on
-    # a v5e: batched step 60.4 -> 46.5 ms.
-    track_rebin_freq: int = 25
+    # render (exact, the reference's semantics). -1 = AUTO (the default):
+    # 0 when schedule.views_per_step == 1 (the "reference parity" mode
+    # must mean the reference's exact per-render fresh sort,
+    # train.py:663 + N1 binning) and 25 in the batched all-views mode,
+    # where the approximation is validated (tests/test_geo_rebin.py,
+    # docs/runs/r03_headline). Resolve with
+    # ``effective_track_rebin_freq(cfg)``; trajectory semantics are
+    # exact when geometry LRs are zero and trajectory-matching at the
+    # reference track LRs. Measured on a v5e: batched step
+    # 60.4 -> 46.5 ms.
+    track_rebin_freq: int = -1
+
+
+def effective_track_rebin_freq(cfg: "Config") -> int:
+    """Resolve ``raster.track_rebin_freq`` (-1 = auto, mode-dependent).
+
+    Parity mode (``schedule.views_per_step == 1``) means the reference's
+    exact semantics — a fresh duplicate-and-sort every render
+    (train.py:663 + N1 binning) — so auto resolves to 0 there; the
+    batched all-views mode resolves to 25, where the frozen-binning
+    approximation is validated (tests/test_geo_rebin.py,
+    docs/runs/r03_headline). Explicit values (>= 0) always win.
+    """
+    f = cfg.raster.track_rebin_freq
+    if f >= 0:
+        return f
+    return 0 if cfg.schedule.views_per_step == 1 else 25
 
 
 @dataclasses.dataclass
@@ -210,11 +231,15 @@ class TextureConfig:
     # cannot help); single-device runs ignore this
     tile_shard: bool = False
     # blend at most this many NON-EMPTY tiles per dense render (the 4K
-    # canvas is mostly empty background around the head); 0 = off.
-    # Occupied tiles beyond the capacity are dropped and counted in the
-    # render's num_overflow — size generously (the trainer warns if a
-    # frame ever overflows)
-    tile_capacity: int = 0
+    # canvas is mostly empty background around the head). -1 = AUTO (the
+    # default): the trainer reads the frame's exact occupancy off the
+    # frozen per-view binnings and sizes the capacity to
+    # occupancy x 1.2 rounded up to 2048 (sticky across frames — it only
+    # grows, so recompiles are rare and in-frame overflow is impossible
+    # by construction). 0 = off. >0 = manual capacity; occupied tiles
+    # beyond it are dropped and counted in the render's num_overflow —
+    # size generously (the trainer warns if a frame ever overflows)
+    tile_capacity: int = -1
     # rematerialize the dense photometric loss in backward. OFF by
     # default since r3: the Pallas blur kernel's custom VJP saves no
     # conv residuals, so remat's re-forward is pure overhead (29.2 vs

@@ -95,13 +95,20 @@ def make_render_fn(cfg: Config):
 def make_geo_binning_fns(cfg: Config):
     """(binned_render_fn, binnings_fn) for geometry-phase frozen binning.
 
-    Active when ``raster.track_rebin_freq > 0`` on the pallas backend:
-    scanned geometry segments then compute per-view binnings once at
-    segment entry and reuse the permutations for every step in the
-    segment (see RasterizerConfig.track_rebin_freq). Returns
-    (None, None) otherwise — fresh binning per render.
+    Active when the resolved ``raster.track_rebin_freq`` is > 0 on the
+    pallas backend (``config.effective_track_rebin_freq``: auto = 0 in
+    parity mode, 25 batched): scanned geometry segments then compute
+    per-view binnings once at segment entry and reuse the permutations
+    for every step in the segment (see
+    RasterizerConfig.track_rebin_freq). Returns (None, None) otherwise —
+    fresh binning per render.
     """
-    if cfg.raster.backend != "pallas" or cfg.raster.track_rebin_freq <= 0:
+    from topo4d_tpu.config import effective_track_rebin_freq
+
+    if (
+        cfg.raster.backend != "pallas"
+        or effective_track_rebin_freq(cfg) <= 0
+    ):
         return None, None
     from topo4d_tpu.core.gaussian import activate_params
     from topo4d_tpu.rasterizer.pallas import (
@@ -154,7 +161,9 @@ def make_dense_render_fn(cfg: Config):
         )
     from topo4d_tpu.rasterizer.pallas import render_gaussians_pallas
 
-    cap = cfg.texture.tile_capacity or None
+    # manual capacity (> 0) rides the static arg; auto (-1) rides the
+    # compact list the trainer attaches to each frozen binning
+    cap = cfg.texture.tile_capacity if cfg.texture.tile_capacity > 0 else None
     return lambda rv, cam, binning: render_gaussians_pallas(
         rv, cam, bg=bg, max_span=cfg.raster.max_span,
         chunk=cfg.raster.chunk, interpret=cfg.raster.interpret,
@@ -426,8 +435,10 @@ class Trainer:
 
             # frozen binnings cap the scanned segment length (permutation
             # staleness bound); without them the scan is exact
+            from topo4d_tpu.config import effective_track_rebin_freq
+
             seg_cap = (
-                cfg.raster.track_rebin_freq
+                effective_track_rebin_freq(cfg)
                 if self._binnings_fn is not None else nb
             )
             i = 0
@@ -477,8 +488,10 @@ class Trainer:
             if self.multi_step is not None and not log_this:
                 # extend the segment while the step config is unchanged;
                 # frozen binnings (track_rebin_freq) cap its length
+                from topo4d_tpu.config import effective_track_rebin_freq
+
                 seg_cap = (
-                    cfg.raster.track_rebin_freq
+                    effective_track_rebin_freq(cfg)
                     if self._binnings_fn is not None else num_iters
                 )
                 j = i + 1
@@ -514,6 +527,20 @@ class Trainer:
                     )
             i += 1
         return metrics
+
+    def _auto_tile_capacity(self, occ: int, total_tiles: int) -> int:
+        """Sticky auto tile capacity (``texture.tile_capacity = -1``).
+
+        occupancy x 1.2 rounded up to a quantum (2048 at 4K-scale
+        canvases, 64 below), never shrinking across frames (a capacity
+        change recompiles the dense step; occupancy drifts slowly, so
+        growth is rare). Clamped to the canvas size — at or above it
+        ``attach_compact`` leaves compact mode off.
+        """
+        quantum = 2048 if total_tiles > 8192 else 64
+        cap = -(-int(occ * 1.2) // quantum) * quantum
+        self._auto_tile_cap = max(cap, getattr(self, "_auto_tile_cap", 0))
+        return min(self._auto_tile_cap, total_tiles)
 
     def _constraints(self, phase: str):
         key = (phase, id(self.first_frame_attrs))
@@ -595,14 +622,22 @@ class Trainer:
             not use_binning or cfg.texture.rebin_freq == 0
         )
         if use_binning:
-            from topo4d_tpu.rasterizer.pallas import binning_for
+            from topo4d_tpu.rasterizer.pallas import (
+                attach_compact,
+                binning_for,
+            )
 
             from topo4d_tpu.texture.dense import dense_rendervars
+
+            cap_cfg = cfg.texture.tile_capacity
+            man_cap = cap_cfg if cap_cfg > 0 else None
 
             def fresh_binning(v):
                 # split_pack: capture the frame-constant packed rows so
                 # each step gathers only the learned conic+color rows;
-                # with a tile_capacity also freeze the compact tile list
+                # with a manual tile_capacity also freeze the compact
+                # tile list (auto capacity attaches it once the frame's
+                # occupancy is known — see _auto_tile_capacity)
                 return binning_for(
                     dense_rendervars(
                         self.texture_state.params, self.dense_means3d
@@ -611,8 +646,22 @@ class Trainer:
                     max_span=cfg.raster.max_span,
                     with_static=cfg.texture.split_pack,
                     chunk=cfg.raster.chunk,
-                    tile_capacity=cfg.texture.tile_capacity or None,
+                    tile_capacity=man_cap,
                 )
+
+            def auto_compact(bs):
+                # auto capacity: the frame's EXACT max occupancy across
+                # the given binnings x 1.2, rounded up to 2048, sticky
+                # across frames (shapes only grow -> rare recompiles,
+                # zero in-frame overflow by construction). One capacity
+                # per frame so per-view binnings stay stackable.
+                if cap_cfg >= 0:
+                    return bs
+                occ = max(int(jnp.sum(b.tile_count > 0)) for b in bs)
+                cap = self._auto_tile_capacity(
+                    occ, int(bs[0].tile_count.shape[0])
+                )
+                return [attach_compact(b, cap) for b in bs]
 
         num_iters = cfg.schedule.dense_opt_num
         log_freq = cfg.schedule.dense_log_freq
@@ -621,16 +670,16 @@ class Trainer:
         if use_scan:
             binnings_stacked = None
             if use_binning:
-                per_view = [
+                per_view = auto_compact([
                     fresh_binning(v) for v in range(images.shape[0])
-                ]
+                ])
                 binnings_stacked = jax.tree_util.tree_map(
                     lambda *x: jnp.stack(x), *per_view
                 )
-                cap = cfg.texture.tile_capacity
-                if cap:
+                if man_cap:
                     # one host sync per frame: dropped tiles are never
-                    # silent (SURVEY §7 hard part 2)
+                    # silent (SURVEY §7 hard part 2); auto capacity
+                    # cannot overflow (sized from exact occupancy)
                     occ = int(
                         jnp.max(
                             jnp.sum(
@@ -638,12 +687,12 @@ class Trainer:
                             )
                         )
                     )
-                    if occ > cap:
+                    if occ > man_cap:
                         print(
                             f"[topo4d] WARNING frame {t}: "
-                            f"{occ - cap} occupied tiles beyond "
-                            f"texture.tile_capacity={cap} are dropped — "
-                            "raise the capacity"
+                            f"{occ - man_cap} occupied tiles beyond "
+                            f"texture.tile_capacity={man_cap} are "
+                            "dropped — raise the capacity"
                         )
             i = 0
             while i < num_iters:
@@ -688,7 +737,7 @@ class Trainer:
                 if v not in binnings or (
                     rebin > 0 and uses[v] >= rebin
                 ):
-                    binnings[v] = fresh_binning(v)
+                    binnings[v] = auto_compact([fresh_binning(v)])[0]
                     uses[v] = 0
                 uses[v] += 1
                 binning = binnings[v]

@@ -65,6 +65,11 @@ def _render_pallas_impl(
     tiles_x, tiles_y = num_tiles(width, height)
     t = tiles_x * tiles_y
     tile_overflow = jnp.zeros((), jnp.int32)
+    if tile_capacity is None and binning.compact is not None:
+        # a frozen binning carrying a compact tile list implies its
+        # capacity (the trainer auto-sizes it from the frame's occupancy
+        # — texture.tile_capacity = -1); shapes are static under jit
+        tile_capacity = binning.compact.ids.shape[0]
     if tile_capacity is not None and tile_capacity < t:
         # compact mode: blend only the non-empty tiles (at 4K most of
         # the canvas is empty background), then scatter into an empty
@@ -348,6 +353,14 @@ def render_gaussians_pallas_tile_sharded(
     contiguous tile block via the kernels' tile_offset, and the backward
     psums the replicated packed array's gradients across the mesh —
     inserted by shard_map's transpose, riding ICI.
+
+    A frozen ``binning`` composes with the full dense-loop stack: its
+    ``static_rows`` (split-pack) flow through ``pack_with_binning``, and
+    its ``compact`` tile list, when present, is what gets sharded — each
+    device blends a contiguous slice of the NON-EMPTY tiles (ascending
+    ids keep the kernels' monotone window schedule) and the compact
+    results scatter into the background template, exactly like the
+    single-device compact mode.
     """
     import numpy as np
     from jax.sharding import PartitionSpec as P
@@ -369,10 +382,29 @@ def render_gaussians_pallas_tile_sharded(
     tiles_x, tiles_y = num_tiles(cam.width, cam.height)
     t = tiles_x * tiles_y
     ndev = int(np.prod(mesh.devices.shape))
-    tl = -(-t // ndev)  # tiles per device (padded block)
-    pad = ndev * tl - t
-    starts = jnp.concatenate([bins.tile_start, jnp.zeros(pad, jnp.int32)])
-    counts = jnp.concatenate([bins.tile_count, jnp.zeros(pad, jnp.int32)])
+    compact = binning.compact
+    tile_overflow = jnp.zeros((), jnp.int32)
+    if compact is not None:
+        # shard the compact non-empty-tile list instead of the canvas
+        cap = compact.ids.shape[0]
+        tl = -(-cap // ndev)
+        pad = ndev * tl - cap
+        sent = jnp.full(pad, t, jnp.int32)  # sentinel id = empty row
+        ids_all = jnp.concatenate([compact.ids, sent])
+        starts = jnp.concatenate([compact.start, jnp.zeros(pad, jnp.int32)])
+        counts = jnp.concatenate([compact.count, jnp.zeros(pad, jnp.int32)])
+        tile_overflow = compact.overflow
+    else:
+        cap = None
+        tl = -(-t // ndev)  # tiles per device (padded block)
+        pad = ndev * tl - t
+        ids_all = None
+        starts = jnp.concatenate(
+            [bins.tile_start, jnp.zeros(pad, jnp.int32)]
+        )
+        counts = jnp.concatenate(
+            [bins.tile_count, jnp.zeros(pad, jnp.int32)]
+        )
     offsets = (jnp.arange(ndev, dtype=jnp.int32) * tl)[:, None]  # (ndev, 1)
 
     @functools.partial(
@@ -390,10 +422,32 @@ def render_gaussians_pallas_tile_sharded(
         )
         return out_local[None]  # (1, tl, 8, PX) — shard axis leads
 
-    out = blend_shard(
-        bins.packed, starts.reshape(ndev, tl), counts.reshape(ndev, tl),
-        offsets,
-    ).reshape(ndev * tl, 8, PX)[:t]
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def blend_shard_compact(packed, starts, counts, ids):
+        out_local = pallas_blend(
+            packed, starts[0], counts[0], tiles_x, tiles_y, chunk,
+            interpret, num_tiles=tl, tile_map=ids[0],
+        )
+        return out_local[None]  # (1, tl, 8, PX)
+
+    if compact is not None:
+        out_c = blend_shard_compact(
+            bins.packed, starts.reshape(ndev, tl),
+            counts.reshape(ndev, tl), ids_all.reshape(ndev, tl),
+        ).reshape(ndev * tl, 8, PX)[:cap]
+        template = jnp.zeros((t, 8, PX), jnp.float32).at[:, 4, :].set(1.0)
+        out = template.at[compact.ids].set(out_c, mode="drop")
+    else:
+        out = blend_shard(
+            bins.packed, starts.reshape(ndev, tl),
+            counts.reshape(ndev, tl), offsets,
+        ).reshape(ndev * tl, 8, PX)[:t]
 
     rgb_tiles = out[:, 0:3, :] + out[:, 4:5, :] * bg[None, :, None]
     depth_tiles = out[:, 3:4, :]
@@ -413,7 +467,33 @@ def render_gaussians_pallas_tile_sharded(
         depth=untile(depth_tiles),
         alpha=untile(alpha_tiles),
         num_cropped=bins.num_cropped,
-        num_overflow=jnp.zeros((), jnp.int32),
+        num_overflow=tile_overflow,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def attach_compact(binning: Binning, capacity: int) -> Binning:
+    """Attach a frozen compact tile list of the given capacity.
+
+    Used by the trainer's auto-sizing (``texture.tile_capacity = -1``):
+    binnings are computed first, the frame's exact occupancy read off
+    their tile counts, and the compact list frozen at
+    capacity = occupancy x margin — so compact-tile blending is
+    default-on with zero dropped tiles (VERDICT r3 item 7).
+    """
+    from topo4d_tpu.rasterizer.tiles import (
+        CompactTiles,
+        compact_nonempty_tiles,
+    )
+
+    if capacity >= binning.tile_count.shape[0]:
+        return binning  # compact mode off: canvas already that small
+    return binning._replace(
+        compact=CompactTiles(
+            *compact_nonempty_tiles(
+                binning.tile_start, binning.tile_count, capacity
+            )
+        )
     )
 
 
