@@ -24,6 +24,14 @@ fields measured so far):
    tex_sec_per_frame_301it (reference train.py:381-417, 715-743).
 3. 8K bake: banded z-buffer bake of a ~555k-triangle dense UV mesh at
    8192^2 (reference helpers.py:953-998) -> bake8k_s.
+
+Cross-cutting (r4): an ON-TPU NUMERICS GATE — pallas/tiled vs oracle
+pixels + parameter gradients at geometry scale, pallas-vs-tiled at the
+dense 4K scale, SSIM kernel vs exact shift form — emitting max_rel_pix
+/ max_rel_grad / dense_max_rel_* / ssim_abs_err and a numerics_ok
+verdict (tolerances TOL_*); and speed-of-light fields
+pct_of_roofline_blend / pct_of_roofline_step against the MXU cost model
+(docs/PERFORMANCE.md "Speed of light").
 """
 
 from __future__ import annotations
@@ -61,9 +69,10 @@ _EMITTED = False
 # starting; override with BENCH_BUDGET_S
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1100"))
 # measured leg costs (compile-dominated): geometry ~400 s from process
-# start, dense ~330 s, bake ~150 s
+# start, dense ~330 s, bake ~150 s, dense numerics ~150 s
 DENSE_LEG_S = 340.0
 BAKE_LEG_S = 160.0
+NUM_DENSE_S = 150.0
 
 
 def _emit(code=None):
@@ -104,6 +113,237 @@ def _elapsed() -> float:
     if _BUDGET_T0 is not None:
         return time.perf_counter() - _BUDGET_T0 + _STARTUP_ALLOWANCE_S
     return time.perf_counter() - _T0
+
+
+class _LegTimeout(Exception):
+    pass
+
+
+class _leg_deadline:
+    """Hard SIGALRM deadline around an optional bench leg.
+
+    The tunnel can wedge mid-leg (observed twice on 2026-08-20: a
+    fabrication render and a numerics compile both stalled in tcp
+    recv). A wedged OPTIONAL leg must not take the whole bench down —
+    the alarm interrupts the blocking wait and the caller records the
+    timeout as that leg's failure. Main thread only (signal.alarm)."""
+
+    def __init__(self, seconds: int):
+        self.seconds = int(seconds)
+
+    def __enter__(self):
+        self._prev = signal.signal(
+            signal.SIGALRM,
+            lambda *_: (_ for _ in ()).throw(
+                _LegTimeout(f"leg exceeded {self.seconds}s")
+            ),
+        )
+        signal.alarm(self.seconds)
+        return self
+
+    def __exit__(self, *exc):
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, self._prev)
+        return False
+
+
+def _rel_err(a, b) -> float:
+    """max|a-b| / max|b| over arbitrary pytrees (normalized max error)."""
+    import jax
+    import numpy as np_
+
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    worst = 0.0
+    for xa, xb in zip(la, lb):
+        xa, xb = np_.asarray(xa), np_.asarray(xb)
+        denom = max(float(np_.max(np_.abs(xb))), 1e-12)
+        worst = max(worst, float(np_.max(np_.abs(xa - xb))) / denom)
+    return worst
+
+
+# numerics-gate flag thresholds (on-TPU Mosaic-vs-oracle drift): the CPU
+# suite runs Pallas in the interpreter and structurally cannot see Mosaic
+# behavior — two TPU-only regressions (bf16 SSIM drift ~1e-3, v2 kernel
+# grad drift 1e-1) motivated this gate (VERDICT r3 item 1)
+TOL_PIX = 5e-4
+TOL_GRAD = 5e-3
+TOL_SSIM = 5e-5
+
+
+def _bench_numerics_geo(params, cam0, gt) -> None:
+    """On-chip parity gate at geometry scale: pallas (Mosaic) and tiled
+    (XLA) pixels + parameter gradients vs the pure-JAX oracle
+    (BASELINE.md:35 contract; reference train.py:307 semantics).
+
+    The gradient loss is an L1 SUM over pixels — it exercises the full
+    renderer VJP (the contract under test; SSIM has its own exactness
+    gate) and is band-separable, so the oracle's backward runs per
+    32-row band with O(band x N) residuals. Differentiating the whole
+    oracle at once saves (H*W, N) alpha/cumprod residuals (~25 GB at
+    8,280 x 512x375 — an OOM), and the remat'd whole-image form
+    measured minutes of compile through the tunnel."""
+    import jax
+    import jax.numpy as jnp
+
+    from topo4d_tpu.core.gaussian import activate_params, project_gaussians
+    from topo4d_tpu.rasterizer import reference as ref
+    from topo4d_tpu.rasterizer.pallas import render_gaussians_pallas
+    from topo4d_tpu.rasterizer.reference import render_gaussians
+    from topo4d_tpu.rasterizer.tiled import render_gaussians_tiled
+
+    interpret = jax.devices()[0].platform == "cpu"  # CPU smoke runs
+    # non-trivial target so pixel gradients have structure
+    target = jnp.clip(0.8 * gt + 0.05, 0.0, 1.0)
+    bg = jnp.zeros(3, jnp.float32)
+
+    def outputs(render):
+        def loss(params):
+            rv = activate_params(params)
+            out = render(rv)
+            return jnp.sum(jnp.abs(out.image - target)), out
+
+        (val, out), grads = jax.value_and_grad(loss, has_aux=True)(params)
+        return (
+            jax.tree_util.tree_map(
+                np.asarray, (out.image, out.depth, out.alpha)
+            ),
+            jax.tree_util.tree_map(np.asarray, grads),
+        )
+
+    pix_p, g_p = outputs(
+        lambda rv: render_gaussians_pallas(
+            rv, cam0, max_span=2, chunk=128, interpret=interpret
+        )
+    )
+    pix_t, g_t = outputs(
+        lambda rv: render_gaussians_tiled(
+            rv, cam0, max_span=2, capacity=1024
+        )
+    )
+    _note("numerics geo: pallas+tiled done")
+
+    # oracle pixels: plain forward (no autodiff residuals)
+    out_o = render_gaussians(activate_params(params), cam0)
+    pix_o = jax.tree_util.tree_map(
+        np.asarray, (out_o.image, out_o.depth, out_o.alpha)
+    )
+
+    # oracle gradients: L1-sum accumulated over row bands
+    row_block = 32
+    h, w = cam0.height, cam0.width
+
+    @jax.jit
+    def oracle_band_vg(params, ys, target_rows):
+        def loss(params):
+            rv = activate_params(params)
+            proj = project_gaussians(rv, cam0)
+            order = ref.depth_sorted_order(proj)
+            rx0, ry0, rx1, ry1, _, _ = ref.tile_rect(proj, w, h)
+            rgb, _, _ = ref._render_rows(
+                ys, w,
+                proj.means2d[order], proj.conics[order],
+                rv.colors[order], proj.depths[order],
+                rv.opacities[order], proj.mask[order], bg,
+                (rx0[order], ry0[order], rx1[order], ry1[order]),
+            )
+            return jnp.sum(jnp.abs(rgb - target_rows))
+
+        return jax.grad(loss)(params)
+
+    g_o = None
+    for y0 in range(0, h, row_block):
+        ys = jnp.arange(y0, y0 + row_block)
+        t_rows = jnp.transpose(target[:, y0: y0 + row_block, :], (1, 2, 0))
+        g_band = oracle_band_vg(params, ys, t_rows)
+        g_o = g_band if g_o is None else jax.tree_util.tree_map(
+            jnp.add, g_o, g_band
+        )
+    g_o = jax.tree_util.tree_map(np.asarray, g_o)
+    RESULT["max_rel_pix"] = round(_rel_err(pix_p, pix_o), 9)
+    RESULT["max_rel_grad"] = round(_rel_err(g_p, g_o), 9)
+    RESULT["tiled_max_rel_pix"] = round(_rel_err(pix_t, pix_o), 9)
+    RESULT["tiled_max_rel_grad"] = round(_rel_err(g_t, g_o), 9)
+    _note(
+        f"numerics geo: pallas-vs-oracle pix {RESULT['max_rel_pix']:.2e} "
+        f"grad {RESULT['max_rel_grad']:.2e}; tiled-vs-oracle pix "
+        f"{RESULT['tiled_max_rel_pix']:.2e} grad "
+        f"{RESULT['tiled_max_rel_grad']:.2e}"
+    )
+
+
+def _bench_blend_roofline(params, cam0) -> None:
+    """Standalone blend fwd+bwd timing vs its MXU cost model
+    (pct_of_roofline; model in docs/PERFORMANCE.md 'Speed of light')."""
+    import jax
+    import jax.numpy as jnp
+
+    from topo4d_tpu.core.gaussian import activate_params, project_gaussians
+    from topo4d_tpu.rasterizer.pallas_blend import pallas_blend
+    from topo4d_tpu.rasterizer.tiles import (
+        compute_binning,
+        num_tiles,
+        pack_with_binning,
+    )
+
+    rv = activate_params({k: jnp.asarray(v) for k, v in params.items()})
+    proj = project_gaussians(rv, cam0)
+    binning = compute_binning(proj, cam0.width, cam0.height, 2)
+    bins = pack_with_binning(proj, rv.colors, rv.opacities, binning, 128)
+    tiles_x, tiles_y = num_tiles(cam0.width, cam0.height)
+
+    interpret = jax.devices()[0].platform == "cpu"  # CPU smoke runs
+
+    @jax.jit
+    def vg(packed):
+        def f(p):
+            out = pallas_blend(
+                p, bins.tile_start, bins.tile_count, tiles_x, tiles_y,
+                128, interpret,
+            )
+            return jnp.sum(out[:, 0:4, :])
+
+        val, g = jax.value_and_grad(f)(packed)
+        return val, packed - 1e-12 * g  # carry state (defeat result cache)
+
+    packed = bins.packed
+    val, packed = vg(packed)
+    _tunnel_sync(val)
+
+    def run(iters):
+        nonlocal packed
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            val, packed = vg(packed)
+        _tunnel_sync(val)
+        return time.perf_counter() - t0
+
+    run(5)
+    t1 = min(run(5) for _ in range(3))
+    t2 = min(run(45) for _ in range(3))
+    blend_ms = (t2 - t1) / 40.0 * 1e3
+
+    # cost model (docs/PERFORMANCE.md): per (tile, window) the forward
+    # runs a (PX,128)x(128,128) cumprod matmul (~8.4 MFLOP) + a
+    # (PX,128)x(128,8) feature matmul (~0.5 MFLOP); backward ~2x. v5e
+    # f32 MXU peak ~= 197/4 TFLOP/s.
+    counts = np.asarray(binning.tile_count)
+    windows = int(np.sum(np.maximum(1, -(-counts // 128))))
+    flops = 3 * windows * (8.4e6 + 0.5e6)
+    roofline_ms = flops / (V5E_F32_TFLOPS * 1e12) * 1e3
+    RESULT["blend_ms"] = round(blend_ms, 4)
+    RESULT["pct_of_roofline_blend"] = round(100 * roofline_ms / blend_ms, 1)
+    RESULT["roofline_model"] = "v5e-f32-mxu"
+    _note(
+        f"blend fwd+bwd {blend_ms:.3f} ms vs {roofline_ms:.3f} ms model "
+        f"({RESULT['pct_of_roofline_blend']:.0f}% of roofline, "
+        f"{windows} windows)"
+    )
+    return roofline_ms
+
+
+V5E_F32_TFLOPS = 49.4  # 197 TFLOP/s bf16 / 4 (f32 MXU passes)
+V5E_HBM_GBS = 819.0
 
 
 def _bench_full_step() -> float:
@@ -324,8 +564,122 @@ def _bench_full_step() -> float:
     return parity_dt
 
 
-def _bench_dense_texture() -> None:
-    """Dense 4K texture iteration at reference scale -> RESULT fields."""
+def _bench_numerics_dense(ctx) -> None:
+    """On-chip parity gate at the DENSE 4K scale: the production pallas
+    composition (frozen binning + split-pack + compact tiles) vs the XLA
+    tiled path — pixels + dense-parameter gradients — plus the SSIM
+    exactness check (Pallas separable-blur kernel vs the exact
+    shifted-slice form) on a real 4K image.
+
+    The pure-JAX oracle is O(N x pixels): at 300k x 4K its autodiff
+    residuals are ~73 GB per row block — infeasible on one chip — so the
+    full-contract oracle comparison runs at geometry scale
+    (_bench_numerics_geo) and the dense gate pins Mosaic-vs-XLA
+    agreement at the production shape (the bug class that bit twice:
+    bf16 SSIM drift, v2 kernel grad drift — docs/PERFORMANCE.md).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from topo4d_tpu.losses.image import _shift_pass, photometric_loss, ssim
+    from topo4d_tpu.rasterizer.pallas import render_gaussians_pallas
+    from topo4d_tpu.rasterizer.tiled import render_gaussians_tiled
+    from topo4d_tpu.texture.dense import dense_rendervars
+
+    params, means, cam, binning, cap = (
+        ctx["params"], ctx["means"], ctx["cam"], ctx["binning"], ctx["cap"]
+    )
+    interpret = jax.devices()[0].platform == "cpu"  # CPU smoke runs
+    img0 = np.asarray(
+        render_gaussians_pallas(
+            dense_rendervars(params, means), cam, max_span=2, chunk=128,
+            binning=binning, tile_capacity=cap, interpret=interpret,
+        ).image
+    )
+    target = jnp.asarray(np.clip(0.9 * img0 + 0.02, 0.0, 1.0))
+
+    def outputs(render):
+        def loss(params):
+            rv = dense_rendervars(params, means)
+            out = render(rv)
+            return photometric_loss(out.image, target), out
+
+        (val, out), grads = jax.value_and_grad(loss, has_aux=True)(params)
+        return (
+            jax.tree_util.tree_map(
+                np.asarray, (out.image, out.depth, out.alpha)
+            ),
+            jax.tree_util.tree_map(np.asarray, grads),
+        )
+
+    pix_p, g_p = outputs(
+        lambda rv: render_gaussians_pallas(
+            rv, cam, max_span=2, chunk=128, binning=binning,
+            tile_capacity=cap, interpret=interpret,
+        )
+    )
+    _note("dense numerics: pallas done")
+    # tiled capacity: cover the deepest tile exactly (no dropped entries)
+    tcap = -(-int(np.max(np.asarray(binning.tile_count))) // 128) * 128
+    pix_t, g_t = outputs(
+        lambda rv: render_gaussians_tiled(
+            rv, cam, max_span=2, capacity=tcap
+        )
+    )
+    RESULT["dense_max_rel_pix"] = round(_rel_err(pix_p, pix_t), 9)
+    # gradients: only the LEARNED dense params (colors + rotations,
+    # reference train.py:281-286) — the production split-pack freezes
+    # opacity/means/depth rows at binning time, so the zero-LR params'
+    # gradients are deliberately not materialized (tiles.pack_with_binning)
+    learned = ("dense_rgb_colors", "dense_unnorm_rotations")
+    RESULT["dense_max_rel_grad"] = round(
+        _rel_err(
+            {k: g_p[k] for k in learned}, {k: g_t[k] for k in learned}
+        ),
+        9,
+    )
+    _note(
+        f"dense numerics: pallas-vs-tiled (cap {tcap}) pix "
+        f"{RESULT['dense_max_rel_pix']:.2e} grad "
+        f"{RESULT['dense_max_rel_grad']:.2e}"
+    )
+
+    # SSIM exactness on the real 4K image: the production dispatch takes
+    # the Pallas blur kernel here (>1 Mpx, non-CPU); the shifted-slice
+    # form is the exact oracle (tests/test_losses.py)
+    @jax.jit
+    def ssim_pair(a, b):
+        v_kernel = ssim(a, b)
+
+        def conv_shift(x):
+            return _shift_pass(_shift_pass(x, 1, 11, 1.5), 2, 11, 1.5)
+
+        c = a.shape[0]
+        stacked = jnp.concatenate([a, b, a * a, b * b, a * b], axis=0)
+        conv = conv_shift(stacked)
+        mu1, mu2 = conv[0:c], conv[c:2 * c]
+        s1 = conv[2 * c:3 * c] - mu1 * mu1
+        s2 = conv[3 * c:4 * c] - mu2 * mu2
+        s12 = conv[4 * c:5 * c] - mu1 * mu2
+        c1, c2 = 0.01**2, 0.03**2
+        v_shift = (
+            ((2 * mu1 * mu2 + c1) * (2 * s12 + c2))
+            / ((mu1 * mu1 + mu2 * mu2 + c1) * (s1 + s2 + c2))
+        ).mean()
+        return v_kernel, v_shift
+
+    vk, vs = ssim_pair(jnp.asarray(img0), target)
+    RESULT["ssim_abs_err"] = round(abs(float(vk) - float(vs)), 9)
+    _note(
+        f"ssim gate: kernel {float(vk):.7f} vs exact {float(vs):.7f} "
+        f"(abs err {RESULT['ssim_abs_err']:.2e})"
+    )
+
+
+def _bench_dense_texture():
+    """Dense 4K texture iteration at reference scale -> RESULT fields.
+
+    Returns the fixture context for the dense numerics gate."""
     import jax
     import jax.numpy as jnp
 
@@ -430,6 +784,10 @@ def _bench_dense_texture() -> None:
     RESULT["tex_image"] = f"{w}x{h}"
     RESULT["tex_num_tile_overflow"] = int(m["num_tile_overflow"])
     _note(f"dense step timed: {dt * 1e3:.1f} ms")
+    return {
+        "params": params, "means": means, "cam": cam, "binning": binning,
+        "cap": cap,
+    }
 
 
 def _bench_bake8k() -> None:
@@ -579,6 +937,37 @@ def main() -> None:
     sec_per_frame = full_dt * 1100
     target = 5.0
 
+    # speed-of-light accounting (VERDICT r3 item 8): standalone blend
+    # fwd+bwd vs its MXU cost model, and the full step vs blend-model +
+    # photometric-traffic model (all other components' modeled minima
+    # are <0.02 ms — docs/PERFORMANCE.md 'Speed of light')
+    try:
+        with _leg_deadline(240):
+            blend_roofline_ms = _bench_blend_roofline(params_np, cam0)
+        ssim_traffic_ms = (
+            2 * 15 * h * w * 4 / (V5E_HBM_GBS * 1e9) * 1e3
+        )  # 15 stacked maps, fwd+bwd passes
+        RESULT["pct_of_roofline_step"] = round(
+            100 * (blend_roofline_ms + ssim_traffic_ms) / (full_dt * 1e3),
+            1,
+        )
+    except Exception as exc:
+        RESULT["roofline_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        _note(f"roofline leg failed: {exc}")
+
+    # on-TPU numerics gate at geometry scale (VERDICT r3 item 1): the
+    # CPU suite runs Pallas in the interpreter; this is where Mosaic
+    # behavior meets the oracle contract on the real chip. Runs AFTER
+    # the timing legs so a numerics-leg failure (an oracle OOM, a
+    # tunnel wedge) can never poison the headline measurements; the
+    # SIGALRM deadline bounds a wedge to the leg.
+    try:
+        with _leg_deadline(300):
+            _bench_numerics_geo(params, cam0, gt)
+    except Exception as exc:
+        RESULT["numerics_geo_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        _note(f"geo numerics failed: {exc}")
+
     # headline sec/frame: the best VALIDATED mode at the reference's
     # 1,100-render budget — batched all-views when measured (final-loss
     # parity pinned by tests/test_batched_parity.py), else single-view
@@ -608,7 +997,16 @@ def main() -> None:
     # optional legs, budget-gated (partial results still emit on SIGTERM)
     if _elapsed() + DENSE_LEG_S < BUDGET_S:
         try:
-            _bench_dense_texture()
+            ctx = _bench_dense_texture()
+            if ctx is not None and _elapsed() + NUM_DENSE_S < BUDGET_S:
+                try:
+                    with _leg_deadline(300):
+                        _bench_numerics_dense(ctx)
+                except Exception as exc:
+                    RESULT["numerics_dense_error"] = (
+                        f"{type(exc).__name__}: {exc}"[:200]
+                    )
+                    _note(f"dense numerics failed: {exc}")
         except Exception as exc:  # keep the geometry record alive
             RESULT["tex_error"] = f"{type(exc).__name__}: {exc}"[:200]
             _note(f"dense leg failed: {exc}")
@@ -622,6 +1020,21 @@ def main() -> None:
             _note(f"bake leg failed: {exc}")
     else:
         RESULT["bake_skipped"] = "time budget"
+
+    # numerics gate verdict over every parity field measured this run
+    gates = [
+        ("max_rel_pix", TOL_PIX), ("max_rel_grad", TOL_GRAD),
+        ("tiled_max_rel_pix", TOL_PIX), ("tiled_max_rel_grad", TOL_GRAD),
+        ("dense_max_rel_pix", TOL_PIX), ("dense_max_rel_grad", TOL_GRAD),
+        ("ssim_abs_err", TOL_SSIM),
+    ]
+    present = [(k, t) for k, t in gates if k in RESULT]
+    RESULT["numerics_ok"] = bool(present) and all(
+        RESULT[k] <= t for k, t in present
+    )
+    if not RESULT["numerics_ok"]:
+        bad = [k for k, t in present if RESULT.get(k, 0) > t] or ["absent"]
+        _note(f"NUMERICS GATE FAILED: {bad}")
 
     _emit()
 

@@ -31,7 +31,8 @@ import numpy as np
 
 
 def fabricate_fast(root, num_views=24, num_frames=800, rows=92, cols=90,
-                   work_w=375, work_h=512, ratio=2, motion_scale=0.004):
+                   work_w=375, work_h=512, ratio=2, motion_scale=0.004,
+                   dense_tree=False):
     import jax
     import jax.numpy as jnp
     from PIL import Image
@@ -67,6 +68,8 @@ def fabricate_fast(root, num_views=24, num_frames=800, rows=92, cols=90,
                            num_frames=num_frames,
                            motion_scale=motion_scale)
     base = {k: jnp.asarray(v) for k, v in params.items()}
+    # device-array cameras: lax.map's traced index cannot slice numpy
+    cams_dev = jax.tree_util.tree_map(jnp.asarray, cams)
 
     @jax.jit
     def render_all(means):
@@ -74,7 +77,7 @@ def fabricate_fast(root, num_views=24, num_frames=800, rows=92, cols=90,
         return jax.lax.map(
             lambda i: jnp.clip(
                 render_gaussians_tiled(
-                    rv, cams[i], max_span=4, capacity=512
+                    rv, cams_dev[i], max_span=4, capacity=512
                 ).image.transpose(1, 2, 0) * 255.0, 0, 255
             ).astype(jnp.uint8),
             jnp.arange(num_views, dtype=jnp.int32),
@@ -101,6 +104,12 @@ def fabricate_fast(root, num_views=24, num_frames=800, rows=92, cols=90,
 
     jobs = []
     for t in range(1, num_frames + 1):
+        fdir = os.path.join(seq, "%06d" % t)
+        if (
+            os.path.isdir(fdir)
+            and len(os.listdir(fdir)) == num_views
+        ):  # resume after a tunnel wedge: frame already complete
+            continue
         imgs = np.asarray(render_all(
             jnp.asarray(src.vertices_at(t).astype(np.float32))
         ))
@@ -109,8 +118,74 @@ def fabricate_fast(root, num_views=24, num_frames=800, rows=92, cols=90,
             print(f"[fab-fast] frame {t}/{num_frames}", flush=True)
     for j in jobs:
         j.result()
+
+    if dense_tree:
+        # full-resolution tree for the texture phase (-did <root>_dense):
+        # intrinsics scaled by `ratio` (fabricate_dataset.py:166-173),
+        # rendered per view (a 12-Mpx canvas per dispatch) with uint8
+        # conversion ON DEVICE so the download is 4x smaller
+        from topo4d_tpu.config import DEFAULT_CMAP_INDEX
+        from topo4d_tpu.core.camera import Camera
+        from topo4d_tpu.pipeline.masks import bgr_colormap
+
+        full_w, full_h = work_w * ratio, work_h * ratio
+        dense_cams = Camera(
+            w2c=cams.w2c,
+            fx=np.asarray(cams.fx) * ratio,
+            fy=np.asarray(cams.fy) * ratio,
+            cx=np.asarray(cams.cx) * ratio,
+            cy=np.asarray(cams.cy) * ratio,
+            width=full_w, height=full_h,
+        )
+        dcams_dev = jax.tree_util.tree_map(jnp.asarray, dense_cams)
+
+        @jax.jit
+        def render_full_view(means, i):
+            rv = activate_params({**base, "means3D": means})
+            return jnp.clip(
+                render_gaussians_tiled(
+                    rv, dcams_dev[i], max_span=4, capacity=512
+                ).image.transpose(1, 2, 0) * 255.0, 0, 255
+            ).astype(jnp.uint8)
+
+        dseq = os.path.join(root + "_dense", "seq01")
+        skin = bgr_colormap(14)[DEFAULT_CMAP_INDEX["skin"]]
+        mk = np.zeros((full_h, full_w, 3), np.uint8)
+        mk[full_h // 4: 3 * full_h // 4, full_w // 4: 3 * full_w // 4] = skin
+
+        def write_dense_view(t, v, img):
+            fdir = os.path.join(dseq, "%06d" % t)
+            mdir = os.path.join(dseq, "mask", "%06d" % t)
+            os.makedirs(fdir, exist_ok=True)
+            os.makedirs(mdir, exist_ok=True)
+            Image.fromarray(img).save(
+                os.path.join(fdir, f"view{v:02d}.png")
+            )
+            mpath = os.path.join(mdir, f"view{v:02d}.png")
+            m0 = os.path.join(dseq, "mask", "000001", "view00.png")
+            if t == 1 and v == 0:
+                Image.fromarray(mk).save(mpath)
+            elif not os.path.exists(mpath):
+                os.link(m0, mpath)
+
+        djobs = []
+        for t in range(1, num_frames + 1):
+            means = jnp.asarray(src.vertices_at(t).astype(np.float32))
+            for v in range(num_views):
+                img = np.asarray(
+                    render_full_view(means, jnp.asarray(v, jnp.int32))
+                )
+                if t == 1 and v == 0:
+                    write_dense_view(t, v, img)  # mask seed, in order
+                else:
+                    djobs.append(pool.submit(write_dense_view, t, v, img))
+            print(f"[fab-fast] dense frame {t}/{num_frames}", flush=True)
+        for j in djobs:
+            j.result()
+
     pool.shutdown()
-    print(f"[fab-fast] fabricated {num_frames} frames at {root}")
+    print(f"[fab-fast] fabricated {num_frames} frames at {root}"
+          + (" (+ dense tree)" if dense_tree else ""))
 
 
 if __name__ == "__main__":
@@ -125,4 +200,5 @@ if __name__ == "__main__":
         int(a[6]) if len(a) > 6 else 512,
         int(a[7]) if len(a) > 7 else 2,
         float(a[8]) if len(a) > 8 else 0.004,
+        dense_tree=(len(a) > 9 and a[9] == "dense"),
     )

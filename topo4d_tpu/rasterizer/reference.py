@@ -127,8 +127,14 @@ def _render_rows(
     ).reshape(-1, 2)  # (R*W, 2) as (x, y)
     alpha = _alpha_at_pixels(pix, means2d, conics, opacities, valid, rect)
     w, t_final = blend_weights(alpha)
-    rgb = w @ colors + t_final[:, None] * bg[None, :]
-    depth = w @ depths[:, None]
+    # HIGHEST precision: on TPU a default-precision matmul feeds the MXU
+    # bf16 inputs, drifting the ORACLE itself by ~5e-3 max pixel at the
+    # 8,280-Gaussian geometry scale (caught by the r4 on-TPU numerics
+    # gate; same bug class as the r3 SSIM drift). The oracle is the
+    # semantic contract — it must be exact f32 everywhere.
+    hi = jax.lax.Precision.HIGHEST
+    rgb = jnp.matmul(w, colors, precision=hi) + t_final[:, None] * bg[None, :]
+    depth = jnp.matmul(w, depths[:, None], precision=hi)
     out_alpha = 1.0 - t_final
     r = ys.shape[0]
     return (
@@ -138,13 +144,14 @@ def _render_rows(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("row_block",))
+@functools.partial(jax.jit, static_argnames=("row_block", "remat"))
 def render_gaussians(
     rv: GaussianRenderVars,
     cam: Camera,
     bg: jnp.ndarray | None = None,
     means2d_offset: jnp.ndarray | None = None,
     row_block: int = 16,
+    remat: bool = False,
 ) -> RenderOutput:
     """Render one view with the oracle rasterizer.
 
@@ -155,6 +162,12 @@ def render_gaussians(
       means2d_offset: optional zero (N, 2) tensor whose cotangent carries
         screen-space gradients (reference's ``means2D`` dummy).
       row_block: rows per block; bounds the (rows*W, N) working set.
+      remat: rematerialize each row block in the backward. Without it,
+        autodiff saves every block's (rows*W, N) alpha/cumprod residuals
+        across the whole lax.map — ~20 GB at the 8,280 x 512x375
+        geometry scale, an OOM on one chip. The on-TPU bench numerics
+        gate differentiates the oracle at exactly that scale, so it
+        sets remat=True (2x block compute, O(one block) memory).
 
     Returns RenderOutput(image (3,H,W), radii (N,), depth (1,H,W),
     alpha (1,H,W)) matching the CUDA tuple at reference train.py:307.
@@ -182,6 +195,8 @@ def render_gaussians(
             ys, w, means2d, conics, colors, depths, opacities, valid, bg, rect
         )
 
+    if remat:
+        body = jax.checkpoint(body)
     rgb, depth, alpha = jax.lax.map(body, all_ys)
     rgb = rgb.reshape(-1, w, 3)[:h]
     depth = depth.reshape(-1, w)[:h]

@@ -155,8 +155,15 @@ def render_binned(
         t_excl = t_unfrozen[:, None, :] * t_excl_local
         keep = t_incl >= TRANSMITTANCE_MIN
         w = alpha * t_excl * keep  # (T, C, PX)
+        # HIGHEST precision: preferred_element_type only pins the OUTPUT
+        # dtype — on TPU the default still feeds the MXU bf16 inputs,
+        # which drifted this path ~5e-3 max pixel vs the f32 math at
+        # geometry scale (r4 on-TPU numerics gate; the r3 SSIM bug
+        # class). This path must match the oracle contract exactly.
         accum = accum + jnp.einsum(
-            "tcp,tcf->tpf", w, feat, preferred_element_type=jnp.float32
+            "tcp,tcf->tpf", w, feat,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         t_unfrozen = t_incl[:, -1, :]
         t_frozen = jnp.minimum(
