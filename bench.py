@@ -179,7 +179,7 @@ def _bench_numerics_geo(params, cam0, gt) -> None:
     The gradient loss is an L1 SUM over pixels — it exercises the full
     renderer VJP (the contract under test; SSIM has its own exactness
     gate) and is band-separable, so the oracle's backward runs per
-    32-row band with O(band x N) residuals. Differentiating the whole
+    64-row band with O(band x N) residuals. Differentiating the whole
     oracle at once saves (H*W, N) alpha/cumprod residuals (~25 GB at
     8,280 x 512x375 — an OOM), and the remat'd whole-image form
     measured minutes of compile through the tunnel."""
@@ -230,7 +230,7 @@ def _bench_numerics_geo(params, cam0, gt) -> None:
     )
 
     # oracle gradients: L1-sum accumulated over row bands
-    row_block = 32
+    row_block = 64
     h, w = cam0.height, cam0.width
 
     @jax.jit
@@ -995,18 +995,10 @@ def main() -> None:
     })
 
     # optional legs, budget-gated (partial results still emit on SIGTERM)
+    ctx = None
     if _elapsed() + DENSE_LEG_S < BUDGET_S:
         try:
             ctx = _bench_dense_texture()
-            if ctx is not None and _elapsed() + NUM_DENSE_S < BUDGET_S:
-                try:
-                    with _leg_deadline(300):
-                        _bench_numerics_dense(ctx)
-                except Exception as exc:
-                    RESULT["numerics_dense_error"] = (
-                        f"{type(exc).__name__}: {exc}"[:200]
-                    )
-                    _note(f"dense numerics failed: {exc}")
         except Exception as exc:  # keep the geometry record alive
             RESULT["tex_error"] = f"{type(exc).__name__}: {exc}"[:200]
             _note(f"dense leg failed: {exc}")
@@ -1020,6 +1012,19 @@ def main() -> None:
             _note(f"bake leg failed: {exc}")
     else:
         RESULT["bake_skipped"] = "time budget"
+    # dense numerics LAST: the most compile-heavy optional leg must not
+    # budget-starve the bake record
+    if ctx is not None and _elapsed() + NUM_DENSE_S < BUDGET_S:
+        try:
+            with _leg_deadline(300):
+                _bench_numerics_dense(ctx)
+        except Exception as exc:
+            RESULT["numerics_dense_error"] = (
+                f"{type(exc).__name__}: {exc}"[:200]
+            )
+            _note(f"dense numerics failed: {exc}")
+    elif ctx is not None:
+        RESULT["numerics_dense_skipped"] = "time budget"
 
     # numerics gate verdict over every parity field measured this run
     gates = [

@@ -28,8 +28,12 @@ Cross-run: the drift curve is recorded per frame; the loose hard bound
 the measured bound.
 
 Usage: python scripts/run_long_r04.py <dataset_root> <out_root>
-       [frames=800] [motion=0.004] [skip_modes=]
+       [frames=800] [motion=0.004] [skip_modes=] [batched0_frames=frames]
 (dataset: scripts/fabricate_fast.py <root> 24 800 92 90 375 512 2 0.004)
+
+``batched0_frames`` < frames runs the comparison trajectory over a
+prefix of the horizon (the drift curve then covers that prefix) while
+the headline run and its verification keep the full horizon.
 """
 import json
 import os
@@ -148,28 +152,32 @@ def main():
     frames = int(sys.argv[3]) if len(sys.argv) > 3 else 800
     motion = float(sys.argv[4]) if len(sys.argv) > 4 else 0.004
     skip = set((sys.argv[5] if len(sys.argv) > 5 else "").split(","))
+    b0_frames = int(sys.argv[6]) if len(sys.argv) > 6 else frames
+    mode_frames = {"headline": frames, "batched0": b0_frames}
 
     seqs = {}
     for name, rebin in MODES.items():
         if name in skip:
             seqs[name] = os.path.join(out_root, name, "long", "seq01")
             continue
-        seqs[name] = run_mode(name, rebin, root, out_root, frames)
+        seqs[name] = run_mode(name, rebin, root, out_root, mode_frames[name])
 
     report = {
-        name: verify_run(name, seqs[name], frames, motion) for name in MODES
+        name: verify_run(name, seqs[name], mode_frames[name], motion)
+        for name in MODES
     }
 
     # headline-vs-batched0 exported-vertex drift, per frame
+    nf = min(frames, b0_frames)
     drift = []
-    for t in range(1, frames + 1):
+    for t in range(1, nf + 1):
         va = obj_vertices(seqs["headline"], t)
         vb = obj_vertices(seqs["batched0"], t)
         drift.append(float(np.max(np.linalg.norm(va - vb, axis=1))))
     d = np.asarray(drift)
-    win = max(frames // 8, 1)
+    win = max(nf // 8, 1)
     windowed = [
-        float(np.mean(d[i: i + win])) for i in range(0, frames, win)
+        float(np.mean(d[i: i + win])) for i in range(0, nf, win)
     ]
     report["vertex_drift_headline_vs_batched0"] = {
         "per_frame_max": float(d.max()),

@@ -32,12 +32,27 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
+    sys.path.insert(0, REPO)
     root, out_root = sys.argv[1], sys.argv[2]
     frames = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # max_span 2: sufficient for this workload's radii at both phases
+    # (the bench geometry leg runs 2 with num_cropped 0; dense splats at
+    # 4K are ~3-5 px) and it quarters the per-view binning footprint —
+    # 24 stacked view binnings at max_span=4 cost ~5 GB of HBM next to
+    # the 4.2 GB full-res frame batch
+    from topo4d_tpu.config import Config
+
+    cfg = Config()
+    cfg.raster.max_span = 2
+    cfg_path = os.path.join(out_root, "tex8k_config.json")
+    os.makedirs(out_root, exist_ok=True)
+    with open(cfg_path, "w") as fh:
+        fh.write(cfg.to_json())
     cmd = [
         sys.executable, "-m", "topo4d_tpu.cli",
+        "--config", cfg_path,
         "-id", root, "-did", root + "_dense", "-s", "seq01",
         "-od", out_root, "-e", "tex8k",
         "-fn", str(frames), "-ion", "7000", "-on", "1100",

@@ -12,14 +12,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def knn_sq_dists(points: np.ndarray, k: int, block: int = 4096) -> np.ndarray:
+def knn_sq_dists(
+    points: np.ndarray, k: int, block: int | None = None
+) -> np.ndarray:
     """Squared distances to each point's k nearest OTHER points -> (N, k).
 
     Matches o3d_knn's exclusion of the query point itself
-    (helpers.py:154 takes neighbors [1:]).
+    (helpers.py:154 takes neighbors [1:]). ``block`` (query rows per
+    dispatch) auto-sizes so the (block, N) distance matrix stays under
+    ~1 GB — a fixed 4096 allocates block*N*4 bytes, which at the dense
+    texture scale (N in the 10^5..10^6 range, train.py:245) exceeds
+    HBM.
     """
     pts = jnp.asarray(points, jnp.float32)
     n = pts.shape[0]
+    if block is None:
+        block = max(256, min(4096, int(1e9 // (4 * max(n, 1)))))
     k_eff = min(k, n - 1)
 
     @jax.jit
