@@ -176,13 +176,15 @@ def _bench_numerics_geo(params, cam0, gt) -> None:
     (XLA) pixels + parameter gradients vs the pure-JAX oracle
     (BASELINE.md:35 contract; reference train.py:307 semantics).
 
-    The gradient loss is an L1 SUM over pixels — it exercises the full
-    renderer VJP (the contract under test; SSIM has its own exactness
-    gate) and is band-separable, so the oracle's backward runs per
-    64-row band with O(band x N) residuals. Differentiating the whole
-    oracle at once saves (H*W, N) alpha/cumprod residuals (~25 GB at
-    8,280 x 512x375 — an OOM), and the remat'd whole-image form
-    measured minutes of compile through the tunnel."""
+    The gradient loss is a SQUARED-ERROR SUM over pixels — it
+    exercises the full renderer VJP (the contract under test; SSIM has
+    its own exactness gate), is band-separable (the oracle's backward
+    runs per 64-row band with O(band x N) residuals; whole-image
+    differentiation saves ~25 GB of alpha/cumprod residuals — an OOM),
+    and is SMOOTH: an L1 loss's sign() flips at pixels where pred and
+    target cross, so two implementations agreeing to 5e-7 on pixels
+    still produced order-1 "gradient errors" at knife-edge pixels
+    (measured r4) — a property of the metric, not the renderers."""
     import jax
     import jax.numpy as jnp
 
@@ -201,7 +203,7 @@ def _bench_numerics_geo(params, cam0, gt) -> None:
         def loss(params):
             rv = activate_params(params)
             out = render(rv)
-            return jnp.sum(jnp.abs(out.image - target)), out
+            return jnp.sum(jnp.square(out.image - target)), out
 
         (val, out), grads = jax.value_and_grad(loss, has_aux=True)(params)
         return (
@@ -247,7 +249,7 @@ def _bench_numerics_geo(params, cam0, gt) -> None:
                 rv.opacities[order], proj.mask[order], bg,
                 (rx0[order], ry0[order], rx1[order], ry1[order]),
             )
-            return jnp.sum(jnp.abs(rgb - target_rows))
+            return jnp.sum(jnp.square(rgb - target_rows))
 
         return jax.grad(loss)(params)
 
@@ -581,7 +583,7 @@ def _bench_numerics_dense(ctx) -> None:
     import jax
     import jax.numpy as jnp
 
-    from topo4d_tpu.losses.image import _shift_pass, photometric_loss, ssim
+    from topo4d_tpu.losses.image import _shift_pass, ssim
     from topo4d_tpu.rasterizer.pallas import render_gaussians_pallas
     from topo4d_tpu.rasterizer.tiled import render_gaussians_tiled
     from topo4d_tpu.texture.dense import dense_rendervars
@@ -599,10 +601,13 @@ def _bench_numerics_dense(ctx) -> None:
     target = jnp.asarray(np.clip(0.9 * img0 + 0.02, 0.0, 1.0))
 
     def outputs(render):
+        # squared error: smooth in the pixels (an L1 term's sign()
+        # flips at pred/target crossings, producing metric-only grad
+        # "errors" between implementations that agree on pixels)
         def loss(params):
             rv = dense_rendervars(params, means)
             out = render(rv)
-            return photometric_loss(out.image, target), out
+            return jnp.sum(jnp.square(out.image - target)), out
 
         (val, out), grads = jax.value_and_grad(loss, has_aux=True)(params)
         return (

@@ -162,7 +162,8 @@ def _fwd_window(data, px, py, tile_f, u_prefix, t_un, acc, chunk):
     alpha, _, _, _, _ = _chunk_terms(data, px, py, tile_f)
     log1m = jnp.log1p(-alpha)
     s_excl = jax.lax.dot(
-        log1m, u_prefix, preferred_element_type=jnp.float32
+        log1m, u_prefix, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST
     )  # (PX, chunk) exclusive prefix along entries
     s_total = s_excl[:, chunk - 1 : chunk] + log1m[:, chunk - 1 : chunk]
     t_excl_l = jnp.exp(s_excl)
@@ -177,6 +178,7 @@ def _fwd_window(data, px, py, tile_f, u_prefix, t_un, acc, chunk):
         feat,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (PX, 8)
     t_un_out = t_incl[:, chunk - 1 : chunk]
     t_fr = jnp.min(
@@ -999,7 +1001,8 @@ def _bwd_window_grads(
     alpha, raw, g_exp, dx, dy = _chunk_terms(data, px, py, tile_f)
     log1m = jnp.log1p(-alpha)
     s_excl = jax.lax.dot(
-        log1m, u_prefix, preferred_element_type=jnp.float32
+        log1m, u_prefix, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST
     )
     s_total = jnp.sum(log1m, axis=1, keepdims=True)  # (PX, 1)
     log_t_in = log_t_out - s_total
@@ -1010,11 +1013,13 @@ def _bwd_window_grads(
 
     feat = data[8:16, :]  # (8, chunk)
     gfeat = jax.lax.dot(
-        g8, feat, preferred_element_type=jnp.float32
+        g8, feat, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST
     )  # (PX, chunk): (g . feat_e)(p)
     q = w * gfeat
     sufq = (
-        jax.lax.dot(q, l_suffix, preferred_element_type=jnp.float32)
+        jax.lax.dot(q, l_suffix, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
         + suf
     )
     live = jnp.where((alpha > 0.0) & keep2, 1.0, 0.0)
@@ -1034,6 +1039,7 @@ def _bwd_window_grads(
         basis, dpow,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (8, chunk): [Σ, Σpx, Σpy, Σpx², Σpxpy, Σpy²]·dpow
     m0 = m[0:1, :]
     mx = m[1:2, :]
@@ -1066,6 +1072,7 @@ def _bwd_window_grads(
         w,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (4, chunk)
 
     zero2 = jnp.zeros((2, chunk), jnp.float32)
