@@ -126,7 +126,13 @@ class _leg_deadline:
     fabrication render and a numerics compile both stalled in tcp
     recv). A wedged OPTIONAL leg must not take the whole bench down —
     the alarm interrupts the blocking wait and the caller records the
-    timeout as that leg's failure. Main thread only (signal.alarm)."""
+    timeout as that leg's failure. Main thread only (signal.alarm).
+
+    BEST-EFFORT: SIGALRM only surfaces as a Python exception when the
+    main thread re-enters the interpreter — a C call that retries on
+    EINTR or holds the GIL (a blocked tunnel recv can be either) may
+    still overrun the deadline. The outer driver timeout + the SIGTERM
+    partial-emit path remain the hard backstop."""
 
     def __init__(self, seconds: int):
         self.seconds = int(seconds)
@@ -183,33 +189,70 @@ TOL_GRAD = 5e-3
 TOL_SSIM = 5e-5
 
 
-def _bench_numerics_geo(params, cam0, gt) -> None:
+def _bench_numerics_geo(params, cam0) -> None:
     """On-chip parity gate at geometry scale: pallas (Mosaic) and tiled
     (XLA) pixels + parameter gradients vs the pure-JAX oracle
     (BASELINE.md:35 contract; reference train.py:307 semantics).
 
+    Fixture (r5): ANISOTROPIC — random unit quaternions, per-axis scale
+    factors in [0.5, 2], varied opacities — so the quat -> covariance ->
+    conic backward (reference external.py:26-43 feeding computeCov2D)
+    carries non-trivial gradients on every leaf; the r4 gate's isotropic
+    fixture left ``unnorm_rotations`` gradients identically zero
+    (VERDICT r4 item 2). Nonzero rotation/scale grads are asserted.
+
     The gradient loss is a SQUARED-ERROR SUM over pixels — it
     exercises the full renderer VJP (the contract under test; SSIM has
-    its own exactness gate), is band-separable (the oracle's backward
-    runs per 64-row band with O(band x N) residuals; whole-image
-    differentiation saves ~25 GB of alpha/cumprod residuals — an OOM),
-    and is SMOOTH: an L1 loss's sign() flips at pixels where pred and
-    target cross, so two implementations agreeing to 5e-7 on pixels
-    still produced order-1 "gradient errors" at knife-edge pixels
-    (measured r4) — a property of the metric, not the renderers."""
+    its own exactness gate) and is SMOOTH: an L1 loss's sign() flips at
+    pixels where pred and target cross, so two implementations agreeing
+    to 5e-7 on pixels still produced order-1 "gradient errors" at
+    knife-edge pixels (measured r4) — a property of the metric, not the
+    renderers.
+
+    Oracle gradients run through ``render_gaussians(remat=True)`` — the
+    documented whole-image path (O(one row block) residuals). The r4
+    gate instead re-derived banded oracle gradients inline, and THAT
+    compiled program's backward was the r4 failure: on TPU it diverged
+    from remat-oracle/tiled/pallas (which all mutually agreed to
+    ~2e-4) by ~1.07 at p99.9 across 70% of components,
+    deterministically and band-size-invariantly, while the identical
+    comparison on CPU was clean. The divergence survives the
+    blend_weights custom VJP (cumprod-JVP hypothesis falsified) — it
+    is a property of how XLA:TPU compiles that monolithic band
+    program, not of any renderer or of a nameable autodiff rule — so
+    the gate compares against the remat formulation, which compiles
+    correctly (probe_oracle_grad_r5.py, probe_band_bisect_r5.py;
+    docs/PERFORMANCE.md 'Oracle gradients on TPU')."""
     import jax
     import jax.numpy as jnp
 
-    from topo4d_tpu.core.gaussian import activate_params, project_gaussians
-    from topo4d_tpu.rasterizer import reference as ref
+    from topo4d_tpu.core.gaussian import activate_params
     from topo4d_tpu.rasterizer.pallas import render_gaussians_pallas
     from topo4d_tpu.rasterizer.reference import render_gaussians
     from topo4d_tpu.rasterizer.tiled import render_gaussians_tiled
 
     interpret = jax.devices()[0].platform == "cpu"  # CPU smoke runs
+
+    # anisotropic gate fixture derived from the timing fixture
+    rng = np.random.default_rng(7)
+    n = int(params["means3D"].shape[0])
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    params = dict(params)
+    params["unnorm_rotations"] = jnp.asarray(q)
+    params["log_scales"] = params["log_scales"] + jnp.asarray(
+        rng.uniform(np.log(0.5), np.log(2.0), (n, 3)).astype(np.float32)
+    )
+    params["logit_opacities"] = jnp.asarray(
+        rng.uniform(2.0, 6.0, (n, 1)).astype(np.float32)
+    )
+
     # non-trivial target so pixel gradients have structure
-    target = jnp.clip(0.8 * gt + 0.05, 0.0, 1.0)
-    bg = jnp.zeros(3, jnp.float32)
+    gt = render_gaussians_pallas(
+        activate_params(params), cam0, max_span=2, chunk=128,
+        interpret=interpret,
+    ).image
+    target = jnp.clip(0.8 * jax.lax.stop_gradient(gt) + 0.05, 0.0, 1.0)
 
     def outputs(render):
         def loss(params):
@@ -237,49 +280,45 @@ def _bench_numerics_geo(params, cam0, gt) -> None:
     )
     _note("numerics geo: pallas+tiled done")
 
-    # oracle pixels: plain forward (no autodiff residuals)
+    # oracle pixels: plain forward (no autodiff residuals); oracle
+    # gradients: the remat whole-image path (one grad call)
     out_o = render_gaussians(activate_params(params), cam0)
     pix_o = jax.tree_util.tree_map(
         np.asarray, (out_o.image, out_o.depth, out_o.alpha)
     )
 
-    # oracle gradients: L1-sum accumulated over row bands
-    row_block = 64
-    h, w = cam0.height, cam0.width
+    def oracle_loss(params):
+        rv = activate_params(params)
+        out = render_gaussians(rv, cam0, remat=True)
+        return jnp.sum(jnp.square(out.image - target))
 
-    @jax.jit
-    def oracle_band_vg(params, ys, target_rows):
-        def loss(params):
-            rv = activate_params(params)
-            proj = project_gaussians(rv, cam0)
-            order = ref.depth_sorted_order(proj)
-            rx0, ry0, rx1, ry1, _, _ = ref.tile_rect(proj, w, h)
-            rgb, _, _ = ref._render_rows(
-                ys, w,
-                proj.means2d[order], proj.conics[order],
-                rv.colors[order], proj.depths[order],
-                rv.opacities[order], proj.mask[order], bg,
-                (rx0[order], ry0[order], rx1[order], ry1[order]),
+    g_o = jax.tree_util.tree_map(
+        np.asarray, jax.jit(jax.grad(oracle_loss))(params)
+    )
+    # every param leaf must carry a non-trivial gradient — notably the
+    # rotation/scale leaves the r4 isotropic fixture zeroed out
+    leaves = ("means3D", "rgb_colors", "unnorm_rotations",
+              "logit_opacities", "log_scales")
+    for k in leaves:
+        mx = float(np.max(np.abs(g_o[k])))
+        if not (np.isfinite(mx) and mx > 1e-8):
+            raise AssertionError(
+                f"gate fixture degenerate: oracle grad of {k} is ~0 ({mx})"
             )
-            return jnp.sum(jnp.square(rgb - target_rows))
-
-        return jax.grad(loss)(params)
-
-    g_o = None
-    for y0 in range(0, h, row_block):
-        ys = jnp.arange(y0, y0 + row_block)
-        t_rows = jnp.transpose(target[:, y0: y0 + row_block, :], (1, 2, 0))
-        g_band = oracle_band_vg(params, ys, t_rows)
-        g_o = g_band if g_o is None else jax.tree_util.tree_map(
-            jnp.add, g_o, g_band
-        )
-    g_o = jax.tree_util.tree_map(np.asarray, g_o)
     RESULT["max_rel_pix"] = round(_rel_err(pix_p, pix_o), 9)
     RESULT["max_rel_grad"] = round(_rel_err(g_p, g_o, q=99.9), 9)
     RESULT["max_rel_grad_worst"] = round(_rel_err(g_p, g_o), 9)
     RESULT["tiled_max_rel_pix"] = round(_rel_err(pix_t, pix_o), 9)
     RESULT["tiled_max_rel_grad"] = round(_rel_err(g_t, g_o, q=99.9), 9)
     RESULT["tiled_max_rel_grad_worst"] = round(_rel_err(g_t, g_o), 9)
+    # per-leaf p99.9 errors so a failure names the offending leaf
+    RESULT["grad_leaf_p999"] = {
+        k: [
+            round(_rel_err(g_p[k], g_o[k], q=99.9), 9),
+            round(_rel_err(g_t[k], g_o[k], q=99.9), 9),
+        ]
+        for k in leaves
+    }
     _note(
         f"numerics geo: pallas-vs-oracle pix {RESULT['max_rel_pix']:.2e} "
         f"grad p99.9 {RESULT['max_rel_grad']:.2e} "
@@ -1021,7 +1060,7 @@ def main() -> None:
     # SIGALRM deadline bounds a wedge to the leg.
     try:
         with _leg_deadline(300):
-            _bench_numerics_geo(params, cam0, gt)
+            _bench_numerics_geo(params, cam0)
     except Exception as exc:
         RESULT["numerics_geo_error"] = f"{type(exc).__name__}: {exc}"[:200]
         _note(f"geo numerics failed: {exc}")

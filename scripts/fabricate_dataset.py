@@ -20,7 +20,7 @@ import numpy as np
 
 def fabricate(root, num_views=4, num_frames=2, rows=10, cols=10,
               work_w=48, work_h=32, ratio=8, motion_scale=0.002,
-              dense_tree=True):
+              dense_tree=True, uv_seam=False):
     import jax.numpy as jnp
     from PIL import Image
 
@@ -39,16 +39,48 @@ def fabricate(root, num_views=4, num_frames=2, rows=10, cols=10,
 
     verts, faces = make_grid_mesh(rows, cols, extent=0.5)
     n = verts.shape[0]
-    uvs = np.stack(
-        np.meshgrid(
-            np.linspace(0.05, 0.95, cols), np.linspace(0.05, 0.95, rows),
-            indexing="xy",
-        ),
-        -1,
-    ).reshape(-1, 2).astype(np.float32)
+    if uv_seam:
+        # REAL UV seam (VERDICT r4 item 7; reference helpers.py:930-941
+        # seam color duplication, helpers.py:436-467 seam-aware
+        # densification): the grid's UV map splits into two islands at
+        # column cm — every vertex of that column carries TWO uv coords
+        # (multiplicity 2), one per island, with a u-gap between the
+        # islands so seam texels cannot blend across in UV space.
+        cm = cols // 2
+        u_left = np.linspace(0.05, 0.46, cm + 1)
+        u_right = np.linspace(0.54, 0.95, cols - cm)
+        v_grid = np.linspace(0.05, 0.95, rows)
+        left_ids = np.full((rows, cols), -1, np.int64)
+        right_ids = np.full((rows, cols), -1, np.int64)
+        uv_list = []
+        for r in range(rows):
+            for c in range(cm + 1):
+                left_ids[r, c] = len(uv_list)
+                uv_list.append((u_left[c], v_grid[r]))
+        for r in range(rows):
+            for c in range(cm, cols):
+                right_ids[r, c] = len(uv_list)
+                uv_list.append((u_right[c - cm], v_grid[r]))
+        uvs = np.asarray(uv_list, np.float32)
+        uv_faces = []
+        for f in faces:
+            cols_of = [int(v) % cols for v in f]
+            ids = left_ids if min(cols_of) < cm else right_ids
+            uv_faces.append(
+                [int(ids[int(v) // cols, int(v) % cols]) for v in f]
+            )
+    else:
+        uvs = np.stack(
+            np.meshgrid(
+                np.linspace(0.05, 0.95, cols), np.linspace(0.05, 0.95, rows),
+                indexing="xy",
+            ),
+            -1,
+        ).reshape(-1, 2).astype(np.float32)
+        uv_faces = [list(f) for f in faces]
     write_obj_with_uv(
         os.path.join(seq, "face_v5.obj"), verts,
-        [list(f) for f in faces], uvs, [list(f) for f in faces],
+        [list(f) for f in faces], uvs, uv_faces,
     )
 
     # template texture: smooth gradient so sampled vertex colors vary
@@ -66,6 +98,17 @@ def fabricate(root, num_views=4, num_frames=2, rows=10, cols=10,
         **regions.masks,
         **regions.flat_faces,
     }
+    if uv_seam:
+        # force the seam-adjacent quad columns frontal (face_masks gates
+        # densification, scene.py) so dense texels exist on BOTH sides of
+        # the seam from one continuous color field — the seam-continuity
+        # verifier compares matched texels across the islands
+        cm = cols // 2
+        vids = np.arange(n)
+        seam_cols = np.isin(vids % cols, [cm - 1, cm, cm + 1])
+        raw["face_masks"] = np.unique(
+            np.concatenate([raw["face_masks"], vids[seam_cols]])
+        ).astype(np.int32)
     with open(os.path.join(root, "assets", "facial_regions.pkl"), "wb") as fh:
         pickle.dump(raw, fh)
 

@@ -13,9 +13,11 @@ a 1-frame sequence, then regenerates ALL frames with
 - per-frame mask trees as hardlinks of frame 1's masks (they are
   static by construction).
 
-Images are bit-identical to `fabricate`'s: same params (seeded rng),
-same `SyntheticSequence.vertices_at` wobble, same tiled renderer
-settings, same uint8 quantization.
+Images use the same params (seeded rng), the same
+`SyntheticSequence.vertices_at` wobble, the same tiled renderer settings
+and the same uint8 quantization as `fabricate`'s; pixel values are
+expected to match, though bit-identity of the fused lax.map program vs
+per-view dispatch is not guaranteed by XLA and has not been verified.
 
 Usage: python scripts/fabricate_fast.py <root> <views> <frames> <rows>
        <cols> <work_w> <work_h> <ratio> <motion_scale>
@@ -32,7 +34,7 @@ import numpy as np
 
 def fabricate_fast(root, num_views=24, num_frames=800, rows=92, cols=90,
                    work_w=375, work_h=512, ratio=2, motion_scale=0.004,
-                   dense_tree=False):
+                   dense_tree=False, uv_seam=False):
     import jax
     import jax.numpy as jnp
     from PIL import Image
@@ -45,7 +47,7 @@ def fabricate_fast(root, num_views=24, num_frames=800, rows=92, cols=90,
 
     # structure + frame 1 + frame-1 masks via the reference fabricator
     fabricate(root, num_views, 1, rows, cols, work_w, work_h, ratio,
-              motion_scale, dense_tree=False)
+              motion_scale, dense_tree=False, uv_seam=uv_seam)
 
     # rebuild the exact scene the fabricator used (same seeds)
     verts, faces = make_grid_mesh(rows, cols, extent=0.5)
@@ -91,9 +93,13 @@ def fabricate_fast(root, num_views=24, num_frames=800, rows=92, cols=90,
         fdir = os.path.join(seq, "%06d" % t)
         os.makedirs(fdir, exist_ok=True)
         for v in range(num_views):
-            Image.fromarray(imgs[v]).save(
-                os.path.join(fdir, f"view{v:02d}.png")
-            )
+            # temp-name + rename: a crash mid-write must not leave a
+            # final-named partial PNG that the resume check would count
+            # as complete (silent dataset corruption)
+            dst = os.path.join(fdir, f"view{v:02d}.png")
+            tmp = dst + ".tmp"
+            Image.fromarray(imgs[v]).save(tmp, format="PNG")
+            os.replace(tmp, dst)
         if t > 1:  # masks are static: hardlink frame 1's tree
             mdir = os.path.join(seq, "mask", "%06d" % t)
             os.makedirs(mdir, exist_ok=True)
@@ -107,8 +113,12 @@ def fabricate_fast(root, num_views=24, num_frames=800, rows=92, cols=90,
         fdir = os.path.join(seq, "%06d" % t)
         if (
             os.path.isdir(fdir)
-            and len(os.listdir(fdir)) == num_views
-        ):  # resume after a tunnel wedge: frame already complete
+            and sum(
+                f.endswith(".png") for f in os.listdir(fdir)
+            ) == num_views
+        ):  # resume after a tunnel wedge: frame complete iff all FINAL
+            # names exist (writes go to .tmp then os.replace, so a
+            # crash can never leave a complete-looking partial frame)
             continue
         imgs = np.asarray(render_all(
             jnp.asarray(src.vertices_at(t).astype(np.float32))
@@ -200,5 +210,6 @@ if __name__ == "__main__":
         int(a[6]) if len(a) > 6 else 512,
         int(a[7]) if len(a) > 7 else 2,
         float(a[8]) if len(a) > 8 else 0.004,
-        dense_tree=(len(a) > 9 and a[9] == "dense"),
+        dense_tree=(len(a) > 9 and "dense" in a[9]),
+        uv_seam=(len(a) > 9 and "seam" in a[9]),
     )

@@ -413,3 +413,49 @@ def test_tile_capacity_compact_matches_full(scene):
         tile_capacity=max(1, n_occupied - 2),
     )
     assert int(tiny.num_overflow) == 2
+
+
+def test_split_dot_accuracy():
+    """split_dot's bf16 decomposition vs the exact f32 dot.
+
+    The production TPU config runs mask-operand blend dots via
+    split_dot (pallas_blend MASK_DOT_MODE='split3'); on CPU the sites
+    resolve to HIGHEST, so this test pins the decomposition's accuracy
+    directly: with the exact-bf16 operand (0/1 masks / integer moment
+    basis), parts=3 must carry ~f32-accumulation accuracy and parts=2 ~2^-16.
+    """
+    from topo4d_tpu.rasterizer.pallas_blend import (
+        _moment_basis,
+        _tri_masks,
+        split_dot,
+    )
+
+    rng = np.random.default_rng(3)
+    dn = (((1,), (0,)), ((), ()))
+    # blend-like magnitudes: log1p(-alpha) in [-4.6, 0]
+    a = jnp.asarray(
+        -rng.uniform(0.0, 4.6, (256, 128)).astype(np.float32)
+    )
+    u_prefix, l_suffix = _tri_masks(128)
+    exact = jax.lax.dot_general(
+        a, u_prefix, dn, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    scale = float(jnp.max(jnp.abs(exact)))
+    for parts, tol in ((3, 2e-6), (2, 1e-4)):
+        got = split_dot(a, u_prefix, dn, "rhs", parts)
+        err = float(jnp.max(jnp.abs(got - exact))) / scale
+        assert err < tol, (parts, err)
+
+    # exact-lhs variant (the moment-basis site)
+    basis = _moment_basis()  # (256, 8) integers <= 256: exactly bf16
+    dpow = jnp.asarray(rng.normal(0, 1, (256, 128)).astype(np.float32))
+    dn_l = (((0,), (0,)), ((), ()))
+    exact_m = jax.lax.dot_general(
+        basis, dpow, dn_l, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    scale_m = float(jnp.max(jnp.abs(exact_m)))
+    got_m = split_dot(basis, dpow, dn_l, "lhs", 3)
+    err_m = float(jnp.max(jnp.abs(got_m - exact_m))) / scale_m
+    assert err_m < 2e-6, err_m

@@ -157,6 +157,13 @@ class ScheduleConfig:
     init_opt_num: int = 7000
     opt_num: int = 1100
     dense_opt_num: int = 301
+    # dense iterations on TRACKED frames (t > 0): -1 = same as
+    # dense_opt_num (reference parity, train.py:776). Tracked frames
+    # warm-start from the previous frame's dense colors held by the
+    # soft_color anchor, so a shorter schedule can reach the same
+    # quality — set only with saturation evidence (the
+    # `texture.allview_eval` curve; docs/runs/r05_tex8k_seam)
+    dense_opt_num_tracked: int = -1
     polish_iters: int = 100  # final color-polish window (train.py:705)
     eye_freeze_frac: float = 0.7  # frame-0 eye-region freeze (train.py:683)
     log_freq: int = 500
@@ -246,6 +253,10 @@ class TextureConfig:
     # 20.9 ms at 4K measured) at a ~2 GB residual-memory cost that fits
     # HBM comfortably; turn on for memory-constrained configs
     remat_photometric: bool = False
+    # log the mean dense PSNR over ALL views (eval-only renders) at each
+    # dense log row — the saturation-curve evidence for reduced tracked
+    # schedules (costs V extra renders per log row; off by default)
+    allview_eval: bool = False
     # split-pack (pallas backend, frozen-binning dense loop): gather only
     # the per-step LEARNED packed rows (conics from the learning
     # rotations + colors); means2d/depth/opacity are frame constants

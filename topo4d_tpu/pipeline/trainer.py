@@ -53,6 +53,7 @@ from topo4d_tpu.pipeline.scene import (
 )
 from topo4d_tpu.texture.dense import (
     TextureState,
+    make_texture_eval,
     make_texture_multi_step,
     make_texture_step,
 )
@@ -309,6 +310,7 @@ class Trainer:
         self.dense_anchor = None
         self.texture_step = None
         self.texture_multi_step = None
+        self.texture_eval = None
         self._texture_masked = None
         self.metrics_log: List[Dict] = []
         self._bake_binning = None
@@ -589,6 +591,7 @@ class Trainer:
                 dense_render, use_mask, cfg.data.cmap_index,
                 remat=cfg.texture.remat_photometric,
             )
+            self.texture_eval = make_texture_eval(dense_render)
             self._texture_masked = use_mask
             self._dense_pre = build_dense_pre_constraints(
                 self.texture_state.params, self.statics.regions
@@ -657,15 +660,34 @@ class Trainer:
                 # per frame so per-view binnings stay stackable.
                 if cap_cfg >= 0:
                     return bs
-                occ = max(int(jnp.sum(b.tile_count > 0)) for b in bs)
+                # occupancy reduced device-side across views: ONE host
+                # sync per frame, not one per view (the manual-capacity
+                # path below follows the same pattern)
+                occ = int(jnp.max(jnp.stack(
+                    [jnp.sum(b.tile_count > 0) for b in bs]
+                )))
                 cap = self._auto_tile_capacity(
                     occ, int(bs[0].tile_count.shape[0])
                 )
                 return [attach_compact(b, cap) for b in bs]
 
         num_iters = cfg.schedule.dense_opt_num
+        if t > 0 and cfg.schedule.dense_opt_num_tracked >= 0:
+            # validated reduced tracked-frame schedule (saturation
+            # evidence: texture.allview_eval curves, r05 tex8k run)
+            num_iters = cfg.schedule.dense_opt_num_tracked
         log_freq = cfg.schedule.dense_log_freq
         metrics = {}
+
+        def allview_psnr(binning_of):
+            # eval-only mean PSNR over every view at the current params
+            vals = []
+            for v in range(int(images.shape[0])):
+                vals.append(self.texture_eval(
+                    self.texture_state, self.dense_means3d, images[v],
+                    cams, jnp.asarray(v, jnp.int32), binning_of(v),
+                ))
+            return float(jnp.mean(jnp.stack(vals)))
 
         if use_scan:
             binnings_stacked = None
@@ -694,6 +716,11 @@ class Trainer:
                             f"texture.tile_capacity={man_cap} are "
                             "dropped — raise the capacity"
                         )
+            eval_binning = None
+            if binnings_stacked is not None:
+                eval_binning = jax.tree_util.tree_map(
+                    lambda x: x[0], binnings_stacked
+                )
             i = 0
             while i < num_iters:
                 if i % log_freq == 0:
@@ -710,6 +737,20 @@ class Trainer:
                         mask=None if masks is None else masks[order[i]],
                     )
                     metrics = {("tex_" + k): float(v) for k, v in m.items()}
+                    # fixed-view eval PSNR: comparable across log rows
+                    # (tex_psnr renders the step's random view)
+                    metrics["tex_psnr_fixed"] = float(self.texture_eval(
+                        self.texture_state, self.dense_means3d, images[0],
+                        cams, jnp.asarray(0, jnp.int32), eval_binning,
+                    ))
+                    if cfg.texture.allview_eval:
+                        metrics["tex_psnr_allview"] = allview_psnr(
+                            lambda v: None if binnings_stacked is None
+                            else jax.tree_util.tree_map(
+                                lambda x: x[v], binnings_stacked
+                            )
+                        )
+                    metrics["iter"] = i
                     metrics["frame"] = t
                     self.metrics_log.append(dict(metrics))
                     i += 1
@@ -724,6 +765,23 @@ class Trainer:
                     binnings_stacked, masks,
                 )
                 i = j
+            # terminal eval row: the final state's quality (log rows land
+            # ON log_freq multiples, which miss the last iteration)
+            metrics = {}
+            metrics["tex_psnr_fixed"] = float(self.texture_eval(
+                self.texture_state, self.dense_means3d, images[0],
+                cams, jnp.asarray(0, jnp.int32), eval_binning,
+            ))
+            if cfg.texture.allview_eval:
+                metrics["tex_psnr_allview"] = allview_psnr(
+                    lambda v: None if binnings_stacked is None
+                    else jax.tree_util.tree_map(
+                        lambda x: x[v], binnings_stacked
+                    )
+                )
+            metrics["iter"] = num_iters
+            metrics["frame"] = t
+            self.metrics_log.append(dict(metrics))
             return metrics
 
         binnings: Dict[int, object] = {}
@@ -750,6 +808,17 @@ class Trainer:
             )
             if log_this:
                 metrics = {("tex_" + k): float(val) for k, val in m.items()}
+                eval_binning = None
+                if use_binning:
+                    # reuse (or create) view 0's shared binning
+                    if 0 not in binnings:
+                        binnings[0] = auto_compact([fresh_binning(0)])[0]
+                        uses[0] = 0
+                    eval_binning = binnings[0]
+                metrics["tex_psnr_fixed"] = float(self.texture_eval(
+                    self.texture_state, self.dense_means3d, images[0],
+                    cams, jnp.asarray(0, jnp.int32), eval_binning,
+                ))
                 metrics["frame"] = t
                 self.metrics_log.append(dict(metrics))
         return metrics

@@ -48,6 +48,7 @@ tile-id field. Kernel techniques:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -58,6 +59,137 @@ from topo4d_tpu.core.gaussian import ALPHA_MAX, ALPHA_MIN, TRANSMITTANCE_MIN
 from topo4d_tpu.rasterizer.tiles import PACK_CHUNK, PACK_FIELDS, TILE
 
 PX = TILE * TILE  # 256 pixels per tile
+
+# ---------------------------------------------------------------------------
+# Per-site MXU precision for the blend dots (r5; VERDICT r4 item 3).
+#
+# r4 pinned all seven dot sites to Precision.HIGHEST (6 bf16 passes per
+# dot) after the on-TPU numerics gate caught ~5.5e-3 pixel drift at the
+# DEFAULT single bf16 pass — correct, but it regressed every headline
+# number (BENCH_r04). Not every site needs 6 passes:
+#
+# - MASK sites contract against an operand that is EXACTLY representable
+#   in bf16: the 0/1 triangular prefix/suffix masks, and the pixel-moment
+#   basis (integers <= 256, within bf16's 8 significand bits). Splitting
+#   only the generic operand into bf16-exact addends (split2 ~ 16
+#   significand bits, split3 ~ full f32) makes each pass exact up to the
+#   f32 accumulator, so split3 reaches f32 accuracy in 3 single passes
+#   and split2 reaches ~2^-16 relative in 2.
+# - GEN sites have two generic f32 operands: "gsplit3" (the manual
+#   bf16x3 — Mosaic does not lower Precision.HIGH inside Pallas
+#   kernels) carries ~2^-16 relative error — ~30x under the numerics
+#   gate's TOL_PIX=5e-4 / TOL_GRAD=5e-3.
+#
+# Production config below; TOPO4D_BLEND_PREC="<mask>,<gen>" overrides for
+# measurement probes (scripts/probe_blend_prec_r5.py) — per-config error
+# and timing on the real chip decide the shipped values.
+# ---------------------------------------------------------------------------
+_PREC_ENUM = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+# Shipped config split2,gsplit3: measured on the v5e at geometry scale
+# (scripts/probe_blend_prec_r5.py, r5) its pallas-vs-tiled(HIGHEST)
+# error is indistinguishable from all-HIGHEST (pix max 8.3e-5 vs
+# 8.3e-5, grad p99.9 1.6e-4 vs 1.6e-4 — both at the non-matmul noise
+# floor) while blend fwd+bwd runs 1.365 ms vs HIGHEST's 1.535
+# (DEFAULT: 1.156 ms but 4.8e-3 pixel error — the r4 gate catch).
+_prec_env = os.environ.get("TOPO4D_BLEND_PREC", "split2,gsplit3").split(",")
+MASK_DOT_MODE = _prec_env[0].strip()
+GEN_DOT_MODE = (_prec_env[1] if len(_prec_env) > 1 else _prec_env[0]).strip()
+_SPLIT_PARTS = {"split2": 2, "split3": 3, "gsplit3": 3}
+
+
+def _split_f32(x, parts: int):
+    """Split f32 ``x`` into ``parts`` bf16-exact f32 addends.
+
+    parts=2 carries ~16 significand bits of x, parts=3 ~ full f32 (the
+    final residual still rounds to bf16 inside the dot, at 2^-(8*parts)
+    relative — below f32 for parts >= 3).
+    """
+    hs = []
+    r = x
+    for _ in range(parts - 1):
+        h = r.astype(jnp.bfloat16).astype(jnp.float32)
+        hs.append(h)
+        r = r - h
+    hs.append(r)
+    return hs
+
+
+def split_dot(a, b, dimension_numbers, exact, parts):
+    """Split-decomposed dot: single-pass bf16 dots summed in f32.
+
+    With an ``exact`` operand ('lhs'/'rhs' — the 0/1 masks or the
+    integer moment basis, exactly bf16-representable): only the OTHER
+    operand is decomposed into ``parts`` bf16-exact addends — every
+    pass is then exact up to the f32 accumulator; parts=3 carries ~f32
+    accuracy, parts=2 ~2^-16.
+
+    With ``exact=None`` (two generic operands): both operands split
+    into (hi, lo) and the three significant cross products are summed
+    (a_hi*b_hi + a_hi*b_lo + a_lo*b_hi), ~2^-16 relative — the manual
+    equivalent of Precision.HIGH (bf16x3), which Mosaic does NOT lower
+    inside Pallas kernels (NotImplementedError: Unsupported dot
+    precision: HIGH — measured r5). ``parts`` is ignored here.
+    """
+
+    def d(x16, y16):
+        return jax.lax.dot_general(
+            x16, y16, dimension_numbers,
+            preferred_element_type=jnp.float32,
+        )
+
+    if exact == "rhs":
+        b16 = b.astype(jnp.bfloat16)
+        terms = [d(ap.astype(jnp.bfloat16), b16)
+                 for ap in _split_f32(a, parts)]
+    elif exact == "lhs":
+        a16 = a.astype(jnp.bfloat16)
+        terms = [d(a16, bp.astype(jnp.bfloat16))
+                 for bp in _split_f32(b, parts)]
+    else:
+        a_hi, a_lo = _split_f32(a, 2)
+        b_hi, b_lo = _split_f32(b, 2)
+        a_hi16, a_lo16 = a_hi.astype(jnp.bfloat16), a_lo.astype(jnp.bfloat16)
+        b_hi16, b_lo16 = b_hi.astype(jnp.bfloat16), b_lo.astype(jnp.bfloat16)
+        terms = [d(a_hi16, b_hi16), d(a_hi16, b_lo16), d(a_lo16, b_hi16)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _site_dot(a, b, dimension_numbers, exact=None):
+    """One blend dot site at the configured per-site precision.
+
+    ``exact``: which operand is exactly bf16-representable (None = both
+    generic). Mask sites run MASK_DOT_MODE (split2/split3 decompose the
+    OTHER operand via ``split_dot``); generic sites run GEN_DOT_MODE.
+
+    On CPU (tests / interpret mode) precision enums are already exact
+    f32 and free, while the split's explicit bf16 casts would ADD real
+    rounding — and the hazard they work around (Mosaic lowering f32
+    dots to one bf16 pass) does not exist there — so split modes
+    resolve to HIGHEST off-TPU. ``split_dot`` itself is covered by a
+    dedicated accuracy test (tests/test_rasterizer_pallas.py).
+    """
+    mode = GEN_DOT_MODE if exact is None else MASK_DOT_MODE
+    if mode not in _PREC_ENUM and jax.devices()[0].platform != "tpu":
+        mode = "highest"
+    if mode in _PREC_ENUM:
+        # NB Mosaic only lowers DEFAULT and HIGHEST inside Pallas
+        # kernels; "high" on TPU fails at lowering (use gsplit3)
+        return jax.lax.dot_general(
+            a, b, dimension_numbers,
+            preferred_element_type=jnp.float32,
+            precision=_PREC_ENUM[mode],
+        )
+    return split_dot(a, b, dimension_numbers, exact, _SPLIT_PARTS[mode])
+
+
+_DN_PLAIN = (((1,), (0,)), ((), ()))  # jax.lax.dot(a, b)
 
 
 def _pixel_coords(tile_idx, tiles_x: int):
@@ -161,9 +293,8 @@ def _fwd_window(data, px, py, tile_f, u_prefix, t_un, acc, chunk):
     """
     alpha, _, _, _, _ = _chunk_terms(data, px, py, tile_f)
     log1m = jnp.log1p(-alpha)
-    s_excl = jax.lax.dot(
-        log1m, u_prefix, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST
+    s_excl = _site_dot(
+        log1m, u_prefix, _DN_PLAIN, exact="rhs"
     )  # (PX, chunk) exclusive prefix along entries
     s_total = s_excl[:, chunk - 1 : chunk] + log1m[:, chunk - 1 : chunk]
     t_excl_l = jnp.exp(s_excl)
@@ -173,12 +304,8 @@ def _fwd_window(data, px, py, tile_f, u_prefix, t_un, acc, chunk):
     keep2 = t_incl >= TRANSMITTANCE_MIN
     w = alpha * t_excl * jnp.where(keep2, 1.0, 0.0)  # (PX, chunk)
     feat = data[8:16, :]  # (8, chunk)
-    acc = acc + jax.lax.dot_general(
-        w,
-        feat,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    acc = acc + _site_dot(
+        w, feat, (((1,), (1,)), ((), ()))
     )  # (PX, 8)
     t_un_out = t_incl[:, chunk - 1 : chunk]
     t_fr = jnp.min(
@@ -1000,10 +1127,7 @@ def _bwd_window_grads(
     """
     alpha, raw, g_exp, dx, dy = _chunk_terms(data, px, py, tile_f)
     log1m = jnp.log1p(-alpha)
-    s_excl = jax.lax.dot(
-        log1m, u_prefix, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST
-    )
+    s_excl = _site_dot(log1m, u_prefix, _DN_PLAIN, exact="rhs")
     s_total = jnp.sum(log1m, axis=1, keepdims=True)  # (PX, 1)
     log_t_in = log_t_out - s_total
     t_excl = jnp.exp(log_t_in + s_excl)
@@ -1012,16 +1136,9 @@ def _bwd_window_grads(
     w = alpha * t_excl * jnp.where(keep2, 1.0, 0.0)
 
     feat = data[8:16, :]  # (8, chunk)
-    gfeat = jax.lax.dot(
-        g8, feat, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST
-    )  # (PX, chunk): (g . feat_e)(p)
+    gfeat = _site_dot(g8, feat, _DN_PLAIN)  # (PX, chunk): (g . feat_e)(p)
     q = w * gfeat
-    sufq = (
-        jax.lax.dot(q, l_suffix, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
-        + suf
-    )
+    sufq = _site_dot(q, l_suffix, _DN_PLAIN, exact="rhs") + suf
     live = jnp.where((alpha > 0.0) & keep2, 1.0, 0.0)
     dalpha = live * (
         t_excl * gfeat - (sufq + gt_final) / (1.0 - alpha)
@@ -1035,11 +1152,8 @@ def _bwd_window_grads(
     # (PX, chunk) multiply+reduce pairs; Σ dpow·f(dx,dy) for any
     # quadratic f becomes a (1, chunk) combination of the moments
     # (tile-local coordinates bound the expansion's cancellation)
-    m = jax.lax.dot_general(
-        basis, dpow,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    m = _site_dot(
+        basis, dpow, (((0,), (0,)), ((), ())), exact="lhs"
     )  # (8, chunk): [Σ, Σpx, Σpy, Σpx², Σpxpy, Σpy²]·dpow
     m0 = m[0:1, :]
     mx = m[1:2, :]
@@ -1067,12 +1181,8 @@ def _bwd_window_grads(
     dop = m0 / jnp.maximum(data[5:6, :], 1e-30)
     # only the 4 real feature rows (8..11: r, g, b, depth) take gradient;
     # cotangent columns 4..7 (T_final etc.) must NOT leak into pad rows
-    dfeat = jax.lax.dot_general(
-        g8[:, 0:4],
-        w,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    dfeat = _site_dot(
+        g8[:, 0:4], w, (((0,), (0,)), ((), ()))
     )  # (4, chunk)
 
     zero2 = jnp.zeros((2, chunk), jnp.float32)

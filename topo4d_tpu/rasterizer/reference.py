@@ -1,9 +1,12 @@
 """Pure-JAX oracle Gaussian rasterizer (the semantic contract).
 
 O(N * pixels) per view, processed in pixel-row blocks to bound memory.
-CPU-runnable; backward is plain autodiff through the cumprod blending.
-Production rendering uses the Pallas kernels in ``rasterizer.pallas``,
-which must match this oracle on pixels AND pixel gradients.
+CPU-runnable; backward is autodiff everywhere EXCEPT the blending
+weights, whose adjoint is a hand-derived custom VJP (see
+``blend_weights`` — jnp.cumprod's JVP machinery miscomputed on TPU,
+r5 root cause in docs/PERFORMANCE.md). Production rendering uses the
+Pallas kernels in ``rasterizer.pallas``, which must match this oracle
+on pixels AND pixel gradients.
 
 See package docstring for the exact blending contract (mirrors CUDA
 diff-gaussian-rasterization forward.cu / ashawkey depth+alpha fork).
@@ -86,6 +89,7 @@ def _alpha_at_pixels(
     return jnp.where(keep, alpha, 0.0)
 
 
+@jax.custom_vjp
 def blend_weights(alpha: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Front-to-back blending weights from per-pixel alphas in depth order.
 
@@ -93,7 +97,31 @@ def blend_weights(alpha: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     Returns (w (P, M), T_final (P,)) where ``w_i = alpha_i * T_before_i``
     masked by the 1e-4 termination rule, and T_final is the transmittance
     at which blending stopped (== value the CUDA loop exits with).
+
+    Custom VJP (r5): autodiff of this function routed gradients through
+    jnp.cumprod's JVP machinery (a balanced associative_scan(mul) network
+    and its transpose) and through jnp.min with thousands of tied minima
+    (t_incl is constant past the last contributing splat). The backward
+    below is the hand-derived exact adjoint using only elementwise f32
+    ops and one reverse associative_scan ADD, so the oracle's gradient
+    semantics are proven math independent of any backend's cumprod/min
+    lowering — and it is the a.e.-CORRECT adjoint where the old
+    autodiff was not: the tied-min rule split the t_final cotangent
+    across duplicate trailing values, mis-weighting it at tied
+    positions (finite-difference-checked). NB this custom VJP was first
+    motivated by the r4 on-TPU banded-oracle gradient failure; the
+    probe rerun showed that failure is a property of the monolithic
+    band program's XLA:TPU compilation and NOT of the cumprod JVP (it
+    persists with this VJP active) — see docs/PERFORMANCE.md "Oracle
+    gradients on TPU". The termination mask ``keep`` is treated as
+    piecewise-constant (the CUDA backward's hard-branch semantics,
+    backward.cu).
     """
+    w, t_final, _, _ = _blend_weights_core(alpha)
+    return w, t_final
+
+
+def _blend_weights_core(alpha):
     one_minus = 1.0 - alpha
     t_incl = jnp.cumprod(one_minus, axis=-1)  # T after splat i
     t_excl = jnp.concatenate(
@@ -104,7 +132,48 @@ def blend_weights(alpha: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     keep = t_incl >= TRANSMITTANCE_MIN
     w = alpha * t_excl * keep
     t_final = jnp.min(jnp.where(keep, t_incl, 1.0), axis=-1)
-    return w, t_final
+    return w, t_final, t_incl, keep
+
+
+def _blend_weights_fwd(alpha):
+    w, t_final, t_incl, _ = _blend_weights_core(alpha)
+    return (w, t_final), (alpha, t_incl)
+
+
+def _blend_weights_bwd(res, cots):
+    alpha, t_incl = res
+    gw, gtf = cots
+    t_excl = jnp.concatenate(
+        [jnp.ones_like(t_incl[..., :1]), t_incl[..., :-1]], axis=-1
+    )
+    keep = t_incl >= TRANSMITTANCE_MIN
+    keepf = keep.astype(alpha.dtype)
+    # direct term: dw/dalpha_i at fixed transmittance
+    g_direct = gw * t_excl * keepf
+    # cotangent on t_incl[i]: from w_{i+1} = alpha_{i+1} t_incl[i] keep,
+    # and from t_final = t_incl[last kept] (keep is a prefix of ones —
+    # t_incl is monotone non-increasing — so "last kept" is well defined;
+    # no tied-min gradient splitting)
+    c_shift = gw * alpha * keepf
+    c_incl = jnp.concatenate(
+        [c_shift[..., 1:], jnp.zeros_like(c_shift[..., :1])], axis=-1
+    )
+    keep_next = jnp.concatenate(
+        [keep[..., 1:], jnp.zeros_like(keep[..., :1])], axis=-1
+    )
+    last_kept = (keep & ~keep_next).astype(alpha.dtype)
+    c_incl = c_incl + gtf[..., None] * last_kept
+    # cumprod adjoint: d t_incl[i] / d u_j = t_incl[i] / u_j for i >= j
+    # (u = 1 - alpha >= 0.01 since alpha <= ALPHA_MAX — division exact-
+    # safe); the suffix sum is a reverse associative_scan of ADDs.
+    s = jax.lax.associative_scan(
+        jnp.add, c_incl * t_incl, reverse=True, axis=c_incl.ndim - 1
+    )
+    g_u = s / (1.0 - alpha)
+    return (g_direct - g_u,)
+
+
+blend_weights.defvjp(_blend_weights_fwd, _blend_weights_bwd)
 
 
 def _render_rows(

@@ -151,6 +151,35 @@ def make_texture_step(
     )
 
 
+def make_texture_eval(render_fn: Callable) -> Callable:
+    """Eval-only dense PSNR on a FIXED view (r5; VERDICT r4 item 6).
+
+    The logged ``tex_psnr`` renders whichever random view the log
+    iteration optimizes (the reference's report cadence,
+    train.py:454-495), so consecutive rows carry large per-view variance
+    — a tracked frame's 19.3 -> 13.3 "decline" was indistinguishable
+    from divergence (r4 tex8k verifier). This renders ONE fixed view at
+    the current params without stepping, so consecutive values are
+    comparable; the trainer logs it as ``tex_psnr_fixed`` next to the
+    per-step ``tex_psnr``. Trajectory-neutral: no state is updated.
+    """
+
+    @jax.jit
+    def eval_psnr(
+        state: TextureState,
+        dense_means3d: jnp.ndarray,
+        gt: jnp.ndarray,  # (3, H, W) fixed view's target
+        cams: Camera,
+        view_id: jnp.ndarray,
+        binning=None,
+    ) -> jnp.ndarray:
+        rv = dense_rendervars(state.params, dense_means3d)
+        out = render_fn(rv, cams[view_id], binning)
+        return jnp.mean(psnr(out.image, gt))
+
+    return eval_psnr
+
+
 def make_texture_multi_step(
     render_fn: Callable,
     use_mask: bool = False,
