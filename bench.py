@@ -217,12 +217,17 @@ def _bench_numerics_geo(params, cam0) -> None:
     ~2e-4) by ~1.07 at p99.9 across 70% of components,
     deterministically and band-size-invariantly, while the identical
     comparison on CPU was clean. The divergence survives the
-    blend_weights custom VJP (cumprod-JVP hypothesis falsified) — it
-    is a property of how XLA:TPU compiles that monolithic band
-    program, not of any renderer or of a nameable autodiff rule — so
-    the gate compares against the remat formulation, which compiles
-    correctly (probe_oracle_grad_r5.py, probe_band_bisect_r5.py;
-    docs/PERFORMANCE.md 'Oracle gradients on TPU')."""
+    blend_weights custom VJP (cumprod-JVP hypothesis falsified) and is
+    CONTEXT-DEPENDENT: the same banded program in a fresh process
+    agrees with remat to 4e-7 — an XLA:TPU compilation phenomenon tied
+    to the band backward's ~GB-scale residual capture under memory
+    pressure, not any renderer or nameable autodiff rule. The gate
+    compares against the remat formulation, whose O(one-block)
+    residuals keep it out of that regime and which agrees with both
+    production backwards in every context measured
+    (probe_oracle_grad_r5.py, probe_band_bisect_r5.py,
+    probe_band_shape_r5.py; docs/PERFORMANCE.md 'Oracle gradients on
+    TPU')."""
     import jax
     import jax.numpy as jnp
 
