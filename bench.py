@@ -25,13 +25,18 @@ fields measured so far):
 3. 8K bake: banded z-buffer bake of a ~555k-triangle dense UV mesh at
    8192^2 (reference helpers.py:953-998) -> bake8k_s.
 
-Cross-cutting (r4): an ON-TPU NUMERICS GATE — pallas/tiled vs oracle
-pixels + parameter gradients at geometry scale, pallas-vs-tiled at the
-dense 4K scale, SSIM kernel vs exact shift form — emitting max_rel_pix
-/ max_rel_grad / dense_max_rel_* / ssim_abs_err and a numerics_ok
-verdict (tolerances TOL_*); and speed-of-light fields
-pct_of_roofline_blend / pct_of_roofline_step against the MXU cost model
-(docs/PERFORMANCE.md "Speed of light").
+Cross-cutting (r4, hardened r5): an ON-TPU NUMERICS GATE — pallas/tiled
+vs the remat oracle, pixels + parameter gradients on an anisotropic
+fixture at geometry scale, pallas-vs-tiled at the dense 4K scale, SSIM
+kernel vs exact shift form — emitting max_rel_pix / max_rel_grad /
+grad_leaf_p999 / dense_max_rel_* / ssim_abs_err and a numerics_ok
+verdict (tolerances TOL_*). The gate's jitted programs carry
+per-process nonce names and take their targets as runtime arguments —
+hardening against the remote tunnel serving STALE cached executables
+for structurally-similar programs (the actual r4/r5 gate-failure
+mechanism; docs/PERFORMANCE.md "Oracle gradients on TPU"). Also
+speed-of-light fields pct_of_roofline_blend / pct_of_roofline_step
+against the MXU cost model (docs/PERFORMANCE.md "Speed of light").
 """
 
 from __future__ import annotations
@@ -210,24 +215,24 @@ def _bench_numerics_geo(params, cam0) -> None:
     renderers.
 
     Oracle gradients run through ``render_gaussians(remat=True)`` — the
-    documented whole-image path (O(one row block) residuals). The r4
-    gate instead re-derived banded oracle gradients inline, and THAT
-    compiled program's backward was the r4 failure: on TPU it diverged
-    from remat-oracle/tiled/pallas (which all mutually agreed to
-    ~2e-4) by ~1.07 at p99.9 across 70% of components,
-    deterministically and band-size-invariantly, while the identical
-    comparison on CPU was clean. The divergence survives the
-    blend_weights custom VJP (cumprod-JVP hypothesis falsified) and is
-    CONTEXT-DEPENDENT: the same banded program in a fresh process
-    agrees with remat to 4e-7 — an XLA:TPU compilation phenomenon tied
-    to the band backward's ~GB-scale residual capture under memory
-    pressure, not any renderer or nameable autodiff rule. The gate
-    compares against the remat formulation, whose O(one-block)
-    residuals keep it out of that regime and which agrees with both
-    production backwards in every context measured
-    (probe_oracle_grad_r5.py, probe_band_bisect_r5.py,
-    probe_band_shape_r5.py; docs/PERFORMANCE.md 'Oracle gradients on
-    TPU')."""
+    documented whole-image path.
+
+    STALE-EXECUTABLE HARDENING (the actual r4/r5 failure mechanism):
+    the r4 gate's banded-oracle leg, and this gate's first remat runs,
+    produced order-1-wrong gradients that were BIT-IDENTICAL across
+    code changes and process orders — while the identical source in a
+    freshly-NAMED function agreed with pallas/tiled/finite-differences
+    to ~1e-4 (probe_aniso_fd_r5.py: FD arbiter). The signature is the
+    remote-execution tunnel serving a STALE cached executable for a
+    structurally-similar program with different embedded constants
+    (the closure-captured gate target) — the same caching class as the
+    tunnel's known result-cache hazard (see main()'s carry-state
+    note). Defenses, both applied: the gate target is a runtime
+    ARGUMENT (never an embedded constant), and every jitted gate
+    function carries a PER-PROCESS NONCE in its name so no cache keyed
+    on program name/structure can serve another process's executable.
+    History and probe record in docs/PERFORMANCE.md 'Oracle gradients
+    on TPU'."""
     import jax
     import jax.numpy as jnp
 
@@ -237,6 +242,7 @@ def _bench_numerics_geo(params, cam0) -> None:
     from topo4d_tpu.rasterizer.tiled import render_gaussians_tiled
 
     interpret = jax.devices()[0].platform == "cpu"  # CPU smoke runs
+    nonce = f"{os.getpid():x}{int(time.time()) & 0xffff:x}"
 
     # anisotropic gate fixture derived from the timing fixture
     rng = np.random.default_rng(7)
@@ -259,13 +265,20 @@ def _bench_numerics_geo(params, cam0) -> None:
     ).image
     target = jnp.clip(0.8 * jax.lax.stop_gradient(gt) + 0.05, 0.0, 1.0)
 
-    def outputs(render):
-        def loss(params):
-            rv = activate_params(params)
-            out = render(rv)
-            return jnp.sum(jnp.square(out.image - target)), out
+    def _named_jit(name, fn):
+        fn.__name__ = f"{name}_{nonce}"
+        return jax.jit(fn)
 
-        (val, out), grads = jax.value_and_grad(loss, has_aux=True)(params)
+    def outputs(name, render):
+        def vg(params, target):
+            def loss(params):
+                rv = activate_params(params)
+                out = render(rv)
+                return jnp.sum(jnp.square(out.image - target)), out
+
+            return jax.value_and_grad(loss, has_aux=True)(params)
+
+        (val, out), grads = _named_jit(name, vg)(params, target)
         return (
             jax.tree_util.tree_map(
                 np.asarray, (out.image, out.depth, out.alpha)
@@ -274,31 +287,39 @@ def _bench_numerics_geo(params, cam0) -> None:
         )
 
     pix_p, g_p = outputs(
+        "gate_pallas",
         lambda rv: render_gaussians_pallas(
             rv, cam0, max_span=2, chunk=128, interpret=interpret
-        )
+        ),
     )
     pix_t, g_t = outputs(
+        "gate_tiled",
         lambda rv: render_gaussians_tiled(
             rv, cam0, max_span=2, capacity=1024
-        )
+        ),
     )
     _note("numerics geo: pallas+tiled done")
 
     # oracle pixels: plain forward (no autodiff residuals); oracle
     # gradients: the remat whole-image path (one grad call)
-    out_o = render_gaussians(activate_params(params), cam0)
+    def oracle_fwd(params):
+        return render_gaussians(activate_params(params), cam0)
+
+    out_o = _named_jit("gate_oracle_fwd", oracle_fwd)(params)
     pix_o = jax.tree_util.tree_map(
         np.asarray, (out_o.image, out_o.depth, out_o.alpha)
     )
 
-    def oracle_loss(params):
-        rv = activate_params(params)
-        out = render_gaussians(rv, cam0, remat=True)
-        return jnp.sum(jnp.square(out.image - target))
+    def oracle_vg(params, target):
+        def loss(params):
+            rv = activate_params(params)
+            out = render_gaussians(rv, cam0, remat=True)
+            return jnp.sum(jnp.square(out.image - target))
+
+        return jax.grad(loss)(params)
 
     g_o = jax.tree_util.tree_map(
-        np.asarray, jax.jit(jax.grad(oracle_loss))(params)
+        np.asarray, _named_jit("gate_oracle", oracle_vg)(params, target)
     )
     # every param leaf must carry a non-trivial gradient — notably the
     # rotation/scale leaves the r4 isotropic fixture zeroed out
@@ -1011,6 +1032,18 @@ def main() -> None:
         )
         return val, new_params
 
+    # on-TPU numerics gate (VERDICT r4 item 1), hardened against the
+    # tunnel's stale-executable serving (nonce-named jits + argument
+    # targets — see _bench_numerics_geo docstring). Runs early so its
+    # verdict is recorded even if a later leg wedges; failures cannot
+    # poison the timings (its own try/except + leg deadline).
+    try:
+        with _leg_deadline(360):
+            _bench_numerics_geo(params, cam0)
+    except Exception as exc:
+        RESULT["numerics_geo_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        _note(f"geo numerics failed: {exc}")
+
     # warmup / compile
     val, params = vg(params, gt)
     _tunnel_sync(val)
@@ -1056,19 +1089,6 @@ def main() -> None:
     except Exception as exc:
         RESULT["roofline_error"] = f"{type(exc).__name__}: {exc}"[:200]
         _note(f"roofline leg failed: {exc}")
-
-    # on-TPU numerics gate at geometry scale (VERDICT r3 item 1): the
-    # CPU suite runs Pallas in the interpreter; this is where Mosaic
-    # behavior meets the oracle contract on the real chip. Runs AFTER
-    # the timing legs so a numerics-leg failure (an oracle OOM, a
-    # tunnel wedge) can never poison the headline measurements; the
-    # SIGALRM deadline bounds a wedge to the leg.
-    try:
-        with _leg_deadline(300):
-            _bench_numerics_geo(params, cam0)
-    except Exception as exc:
-        RESULT["numerics_geo_error"] = f"{type(exc).__name__}: {exc}"[:200]
-        _note(f"geo numerics failed: {exc}")
 
     # headline sec/frame: the best VALIDATED mode at the reference's
     # 1,100-render budget — batched all-views when measured (final-loss
@@ -1118,7 +1138,9 @@ def main() -> None:
     # budget-starve the bake record
     if ctx is not None and _elapsed() + NUM_DENSE_S < BUDGET_S:
         try:
-            with _leg_deadline(300):
+            # 420s: the tiled 4K-compile leg overran a 300s deadline on a
+            # slow-tunnel run (r5 test2) with the comparison itself healthy
+            with _leg_deadline(420):
                 _bench_numerics_dense(ctx)
         except Exception as exc:
             RESULT["numerics_dense_error"] = (
