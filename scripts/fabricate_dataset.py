@@ -99,16 +99,23 @@ def fabricate(root, num_views=4, num_frames=2, rows=10, cols=10,
         **regions.flat_faces,
     }
     if uv_seam:
-        # force the seam-adjacent quad columns frontal (face_masks gates
-        # densification, scene.py) so dense texels exist on BOTH sides of
-        # the seam from one continuous color field — the seam-continuity
-        # verifier compares matched texels across the islands
+        # face_masks gates densification by ANY-corner touch (reference
+        # get_face_faces); the synthetic default (50% random vertices)
+        # would make ~94% of quads frontal — 7.3M dense points, an HBM
+        # OOM at 8K scale. Mirror the r04 tex8k protocol (docs/runs/
+        # r04_tex8k: a contiguous 18x18 vertex patch -> ~356k dense)
+        # but CENTER THE PATCH ON THE SEAM so the densified region
+        # spans both UV islands and the seam machinery is exercised
+        # composed (VERDICT r4 item 7).
         cm = cols // 2
         vids = np.arange(n)
-        seam_cols = np.isin(vids % cols, [cm - 1, cm, cm + 1])
-        raw["face_masks"] = np.unique(
-            np.concatenate([raw["face_masks"], vids[seam_cols]])
-        ).astype(np.int32)
+        r_of, c_of = vids // cols, vids % cols
+        r0 = max(rows // 2 - 9, 0)
+        patch = (
+            (r_of >= r0) & (r_of < min(r0 + 18, rows))
+            & (c_of >= max(cm - 9, 0)) & (c_of < min(cm + 9, cols))
+        )
+        raw["face_masks"] = vids[patch].astype(np.int32)
     with open(os.path.join(root, "assets", "facial_regions.pkl"), "wb") as fh:
         pickle.dump(raw, fh)
 
