@@ -903,6 +903,11 @@ def _bench_dense_texture():
     )
     RESULT["tex_step_ms"] = round(dt * 1e3, 2)
     RESULT["tex_sec_per_frame_301it"] = round(dt * 301, 2)
+    # validated reduced tracked-frame schedule (VERDICT r4 item 5): the
+    # r05 tex8k protocol measured <= 0.013 dB all-view PSNR in the back
+    # half of the 301-iteration dense loop on tracked frames
+    # (docs/runs/r05_tex8k_seam, schedule.dense_opt_num_tracked = 150)
+    RESULT["tex_sec_per_frame_tracked150"] = round(dt * 150, 2)
     RESULT["tex_gaussians"] = n
     RESULT["tex_image"] = f"{w}x{h}"
     RESULT["tex_num_tile_overflow"] = int(m["num_tile_overflow"])

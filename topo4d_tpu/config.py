@@ -160,9 +160,11 @@ class ScheduleConfig:
     # dense iterations on TRACKED frames (t > 0): -1 = same as
     # dense_opt_num (reference parity, train.py:776). Tracked frames
     # warm-start from the previous frame's dense colors held by the
-    # soft_color anchor, so a shorter schedule can reach the same
-    # quality — set only with saturation evidence (the
-    # `texture.allview_eval` curve; docs/runs/r05_tex8k_seam)
+    # soft_color anchor, so a shorter schedule reaches the same
+    # quality: 150 is VALIDATED by the r05 tex8k protocol's all-view
+    # PSNR curves (<= 0.013 dB gained after iteration ~150 on tracked
+    # frames; docs/runs/r05_tex8k_seam) — halves the dense phase's
+    # tracked-frame cost (bench tex_sec_per_frame_tracked150)
     dense_opt_num_tracked: int = -1
     polish_iters: int = 100  # final color-polish window (train.py:705)
     eye_freeze_frac: float = 0.7  # frame-0 eye-region freeze (train.py:683)
