@@ -705,17 +705,59 @@ def _bench_numerics_dense(ctx) -> None:
         ).image
     )
     target = jnp.asarray(np.clip(0.9 * img0 + 0.02, 0.0, 1.0))
+    # stale-executable hardening (see _bench_numerics_geo): nonce-named
+    # jits, target as a runtime argument
+    nonce = f"{os.getpid():x}{int(time.time()) & 0xffff:x}"
 
-    def outputs(render):
+    # SSIM gate FIRST within this leg: it is cheap, and a slow-tunnel
+    # run once hit the leg deadline after the grad comparisons but
+    # before this check (r5 final validation run)
+    # SSIM exactness on the real 4K image: the production dispatch takes
+    # the Pallas blur kernel here (>1 Mpx, non-CPU); the shifted-slice
+    # form is the exact oracle (tests/test_losses.py)
+    @jax.jit
+    def ssim_pair(a, b):
+        v_kernel = ssim(a, b)
+
+        def conv_shift(x):
+            return _shift_pass(_shift_pass(x, 1, 11, 1.5), 2, 11, 1.5)
+
+        c = a.shape[0]
+        stacked = jnp.concatenate([a, b, a * a, b * b, a * b], axis=0)
+        conv = conv_shift(stacked)
+        mu1, mu2 = conv[0:c], conv[c:2 * c]
+        s1 = conv[2 * c:3 * c] - mu1 * mu1
+        s2 = conv[3 * c:4 * c] - mu2 * mu2
+        s12 = conv[4 * c:5 * c] - mu1 * mu2
+        c1, c2 = 0.01**2, 0.03**2
+        v_shift = (
+            ((2 * mu1 * mu2 + c1) * (2 * s12 + c2))
+            / ((mu1 * mu1 + mu2 * mu2 + c1) * (s1 + s2 + c2))
+        ).mean()
+        return v_kernel, v_shift
+
+    vk, vs = ssim_pair(jnp.asarray(img0), target)
+    RESULT["ssim_abs_err"] = round(abs(float(vk) - float(vs)), 9)
+    _note(
+        f"ssim gate: kernel {float(vk):.7f} vs exact {float(vs):.7f} "
+        f"(abs err {RESULT['ssim_abs_err']:.2e})"
+    )
+
+
+    def outputs(name, render):
         # squared error: smooth in the pixels (an L1 term's sign()
         # flips at pred/target crossings, producing metric-only grad
         # "errors" between implementations that agree on pixels)
-        def loss(params):
-            rv = dense_rendervars(params, means)
-            out = render(rv)
-            return jnp.sum(jnp.square(out.image - target)), out
+        def vg(params, target):
+            def loss(params):
+                rv = dense_rendervars(params, means)
+                out = render(rv)
+                return jnp.sum(jnp.square(out.image - target)), out
 
-        (val, out), grads = jax.value_and_grad(loss, has_aux=True)(params)
+            return jax.value_and_grad(loss, has_aux=True)(params)
+
+        vg.__name__ = f"{name}_{nonce}"
+        (val, out), grads = jax.jit(vg)(params, target)
         return (
             jax.tree_util.tree_map(
                 np.asarray, (out.image, out.depth, out.alpha)
@@ -724,18 +766,20 @@ def _bench_numerics_dense(ctx) -> None:
         )
 
     pix_p, g_p = outputs(
+        "dense_gate_pallas",
         lambda rv: render_gaussians_pallas(
             rv, cam, max_span=2, chunk=128, binning=binning,
             tile_capacity=cap, interpret=interpret,
-        )
+        ),
     )
     _note("dense numerics: pallas done")
     # tiled capacity: cover the deepest tile exactly (no dropped entries)
     tcap = -(-int(np.max(np.asarray(binning.tile_count))) // 128) * 128
     pix_t, g_t = outputs(
+        "dense_gate_tiled",
         lambda rv: render_gaussians_tiled(
             rv, cam, max_span=2, capacity=tcap
-        )
+        ),
     )
     # dense stacks saturate the 1e-4 transmittance termination, so a
     # one-ulp transmittance difference between exact implementations
@@ -767,36 +811,6 @@ def _bench_numerics_dense(ctx) -> None:
         f"{RESULT['dense_max_rel_grad']:.2e}"
     )
 
-    # SSIM exactness on the real 4K image: the production dispatch takes
-    # the Pallas blur kernel here (>1 Mpx, non-CPU); the shifted-slice
-    # form is the exact oracle (tests/test_losses.py)
-    @jax.jit
-    def ssim_pair(a, b):
-        v_kernel = ssim(a, b)
-
-        def conv_shift(x):
-            return _shift_pass(_shift_pass(x, 1, 11, 1.5), 2, 11, 1.5)
-
-        c = a.shape[0]
-        stacked = jnp.concatenate([a, b, a * a, b * b, a * b], axis=0)
-        conv = conv_shift(stacked)
-        mu1, mu2 = conv[0:c], conv[c:2 * c]
-        s1 = conv[2 * c:3 * c] - mu1 * mu1
-        s2 = conv[3 * c:4 * c] - mu2 * mu2
-        s12 = conv[4 * c:5 * c] - mu1 * mu2
-        c1, c2 = 0.01**2, 0.03**2
-        v_shift = (
-            ((2 * mu1 * mu2 + c1) * (2 * s12 + c2))
-            / ((mu1 * mu1 + mu2 * mu2 + c1) * (s1 + s2 + c2))
-        ).mean()
-        return v_kernel, v_shift
-
-    vk, vs = ssim_pair(jnp.asarray(img0), target)
-    RESULT["ssim_abs_err"] = round(abs(float(vk) - float(vs)), 9)
-    _note(
-        f"ssim gate: kernel {float(vk):.7f} vs exact {float(vs):.7f} "
-        f"(abs err {RESULT['ssim_abs_err']:.2e})"
-    )
 
 
 def _bench_dense_texture():
