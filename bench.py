@@ -194,6 +194,28 @@ TOL_GRAD = 5e-3
 TOL_SSIM = 5e-5
 
 
+def _update_numerics_verdict(final: bool = False) -> None:
+    """(Re)compute numerics_ok over the parity fields measured SO FAR.
+
+    Called after each gate leg so a later wedge/SIGTERM still leaves a
+    verdict over what ran; the final call logs any failing fields."""
+    gates = [
+        ("max_rel_pix", TOL_PIX), ("max_rel_grad", TOL_GRAD),
+        ("tiled_max_rel_pix", TOL_PIX), ("tiled_max_rel_grad", TOL_GRAD),
+        ("dense_max_rel_pix", TOL_PIX),
+        ("dense_crop_max_rel_pix", TOL_PIX),
+        ("dense_max_rel_grad", TOL_GRAD),
+        ("ssim_abs_err", TOL_SSIM),
+    ]
+    present = [(k, t) for k, t in gates if k in RESULT]
+    RESULT["numerics_ok"] = bool(present) and all(
+        RESULT[k] <= t for k, t in present
+    )
+    if final and not RESULT["numerics_ok"]:
+        bad = [k for k, t in present if RESULT.get(k, 0) > t] or ["absent"]
+        _note(f"NUMERICS GATE FAILED: {bad}")
+
+
 def _bench_numerics_geo(params, cam0) -> None:
     """On-chip parity gate at geometry scale: pallas (Mosaic) and tiled
     (XLA) pixels + parameter gradients vs the pure-JAX oracle
@@ -648,11 +670,10 @@ def _bench_full_step() -> float:
 
 
 def _bench_numerics_dense(ctx) -> None:
-    """On-chip parity gate at the DENSE 4K scale: the production pallas
-    composition (frozen binning + split-pack + compact tiles) vs the XLA
-    tiled path — pixels + dense-parameter gradients — plus the SSIM
-    exactness check (Pallas separable-blur kernel vs the exact
-    shifted-slice form) on a real 4K image.
+    """On-chip parity gate at DENSE scale: the production pallas
+    composition (frozen binning + split-pack + compact tiles) vs the
+    XLA tiled path, plus the SSIM exactness check on a real >1 Mpx
+    image.
 
     The pure-JAX oracle is O(N x pixels): at 300k x 4K its autodiff
     residuals are ~73 GB per row block — infeasible on one chip — so the
@@ -660,12 +681,22 @@ def _bench_numerics_dense(ctx) -> None:
     (_bench_numerics_geo) and the dense gate pins Mosaic-vs-XLA
     agreement at production density (the bug class that bit twice:
     bf16 SSIM drift, v2 kernel grad drift — docs/PERFORMANCE.md).
-    Canvas: 1920x1088 with the full 300k-Gaussian set — the tiled
-    path's checkpointed backward at the full 4K canvas needs several
-    ~2 GB live temps and fails to compile next to the bench context
-    (measured); 1920x1088 keeps the per-tile depth distribution
-    production-like, still engages the Pallas blur kernel for the SSIM
-    gate (>1 Mpx), and fits.
+
+    Structure (r5 redesign, probe-driven):
+    - PIXELS at the full 1920x1088 canvas compare the two DIRECT
+      forwards (both verified against the sequential f64 CUDA-loop port
+      at the most divergent pixels — probe_dense_pixels_r5.py). The
+      fused (render+loss in one jit) tiled program at this canvas is
+      wholesale corrupted on the test platform — 79% of covered pixels
+      off by >0.01, bit-identical across program structures including
+      forward-only and remat variants — so renders inside grad programs
+      cannot anchor a full-canvas comparison here (probe_tiled_vg_r5.py,
+      probe_dense_gate_r5.py); earlier "healthy" fused comparisons are
+      attributable to the tunnel's stale-executable serving.
+    - GRADIENTS at a 512^2 center crop of the same 300k-Gaussian scene
+      (same composition, higher per-tile depth), where the fused
+      programs compile/serve correctly (measured: grad p99.9 8.2e-5,
+      zero flip pixels). Tolerances unchanged.
     """
     import jax
     import jax.numpy as jnp
@@ -744,6 +775,65 @@ def _bench_numerics_dense(ctx) -> None:
     )
 
 
+    # ---- full-canvas PIXEL parity: DIRECT pallas vs DIRECT tiled -----
+    # Both direct forwards are verified against the sequential f64 port
+    # of the CUDA loop at the most divergent pixels
+    # (scripts/probe_dense_pixels_r5.py: zero pixels differ by > 0.01
+    # over the whole canvas, max 7e-4 at knife pixels). The r4-r5 gate
+    # instead compared renders INSIDE fused loss/grad programs — and at
+    # THIS canvas the fused tiled program is wholesale corrupted on the
+    # test platform (79% of covered pixels off by >0.01,
+    # bit-identically across program structures incl. forward-only and
+    # remat variants, while the direct program matches the oracle —
+    # probe_tiled_vg_r5.py, probe_dense_gate_r5.py). Earlier "healthy"
+    # runs of the fused comparison are attributable to the tunnel's
+    # stale-executable serving.
+    tcap = -(-int(np.max(np.asarray(binning.tile_count))) // 128) * 128
+
+    def tiled_direct(params):
+        return render_gaussians_tiled(
+            dense_rendervars(params, means), cam, max_span=2, capacity=tcap
+        ).image
+
+    tiled_direct.__name__ = f"dense_gate_tiled_fwd_{nonce}"
+    img_t = np.asarray(jax.jit(tiled_direct)(params))
+    RESULT["dense_max_rel_pix"] = round(
+        _rel_err(img0, img_t, q=99.99), 9
+    )
+    RESULT["dense_max_rel_pix_worst"] = round(_rel_err(img0, img_t), 9)
+    _note(
+        f"dense numerics: direct pallas-vs-tiled pix (cap {tcap}) "
+        f"{RESULT['dense_max_rel_pix']:.2e}"
+    )
+
+    # ---- GRADIENT parity at a 512^2 center crop of the same scene ----
+    # Same 300k Gaussians, same split-pack/compact composition, HIGHER
+    # per-tile depth (center crop) — the fused tiled program at this
+    # size compiles/serves correctly (probe_dense_gate_r5 DG_W=512:
+    # grad p99.9 8.2e-5, ZERO flip pixels), so the comparison measures
+    # the implementations, not the platform defect above.
+    wc = hc = 512
+    kc = np.array(
+        [[2.2 * w, 0, wc / 2], [0, 2.2 * w, hc / 2], [0, 0, 1]], np.float32
+    )
+    cam_c = make_camera(kc, w2c, wc, hc)
+    bin_c = binning_for(
+        dense_rendervars(params, means), cam_c, max_span=2,
+        with_static=True,
+    )
+    occ_c = int(jnp.sum(bin_c.tile_count > 0))
+    cap_c = min(
+        -(-int(occ_c * 1.2) // 2048) * 2048, int(bin_c.tile_count.shape[0])
+    )
+    bin_c = attach_compact(bin_c, cap_c)
+    img0_c = np.asarray(
+        render_gaussians_pallas(
+            dense_rendervars(params, means), cam_c, max_span=2, chunk=128,
+            binning=bin_c, tile_capacity=None, interpret=interpret,
+        ).image
+    )
+    target_c = jnp.asarray(np.clip(0.9 * img0_c + 0.02, 0.0, 1.0))
+
     def outputs(name, render):
         # squared error: smooth in the pixels (an L1 term's sign()
         # flips at pred/target crossings, producing metric-only grad
@@ -757,36 +847,34 @@ def _bench_numerics_dense(ctx) -> None:
             return jax.value_and_grad(loss, has_aux=True)(params)
 
         vg.__name__ = f"{name}_{nonce}"
-        (val, out), grads = jax.jit(vg)(params, target)
+        (val, out), grads = jax.jit(vg)(params, target_c)
         return (
-            jax.tree_util.tree_map(
-                np.asarray, (out.image, out.depth, out.alpha)
-            ),
+            np.asarray(out.image),
             jax.tree_util.tree_map(np.asarray, grads),
         )
 
     pix_p, g_p = outputs(
         "dense_gate_pallas",
         lambda rv: render_gaussians_pallas(
-            rv, cam, max_span=2, chunk=128, binning=binning,
-            tile_capacity=cap, interpret=interpret,
+            rv, cam_c, max_span=2, chunk=128, binning=bin_c,
+            tile_capacity=None, interpret=interpret,
         ),
     )
-    _note("dense numerics: pallas done")
-    # tiled capacity: cover the deepest tile exactly (no dropped entries)
-    tcap = -(-int(np.max(np.asarray(binning.tile_count))) // 128) * 128
+    _note("dense numerics: crop pallas done")
+    tcap_c = -(-int(np.max(np.asarray(bin_c.tile_count))) // 128) * 128
     pix_t, g_t = outputs(
         "dense_gate_tiled",
         lambda rv: render_gaussians_tiled(
-            rv, cam, max_span=2, capacity=tcap
+            rv, cam_c, max_span=2, capacity=tcap_c
         ),
     )
-    # dense stacks saturate the 1e-4 transmittance termination, so a
-    # one-ulp transmittance difference between exact implementations
-    # legitimately swaps a boundary splat on isolated pixels — the
-    # p99.99 bounds continuum agreement, the worst is diagnostic
-    RESULT["dense_max_rel_pix"] = round(_rel_err(pix_p, pix_t, q=99.99), 9)
-    RESULT["dense_max_rel_pix_worst"] = round(_rel_err(pix_p, pix_t), 9)
+    RESULT["dense_crop_max_rel_pix"] = round(
+        _rel_err(pix_p, pix_t, q=99.99), 9
+    )
+    # census of termination flips (clean implementations: 0)
+    RESULT["dense_crop_flip_pixels"] = int(
+        (np.abs(pix_p - pix_t).max(axis=0) > 0.01).sum()
+    )
     # gradients: only the LEARNED dense params (colors + rotations,
     # reference train.py:281-286) — the production split-pack freezes
     # opacity/means/depth rows at binning time, so the zero-LR params'
@@ -806,9 +894,10 @@ def _bench_numerics_dense(ctx) -> None:
         9,
     )
     _note(
-        f"dense numerics: pallas-vs-tiled (cap {tcap}) pix "
-        f"{RESULT['dense_max_rel_pix']:.2e} grad "
-        f"{RESULT['dense_max_rel_grad']:.2e}"
+        f"dense numerics: crop pallas-vs-tiled (cap {tcap_c}) pix "
+        f"{RESULT['dense_crop_max_rel_pix']:.2e} grad "
+        f"{RESULT['dense_max_rel_grad']:.2e} "
+        f"flips {RESULT['dense_crop_flip_pixels']}"
     )
 
 
@@ -1062,6 +1151,7 @@ def main() -> None:
     except Exception as exc:
         RESULT["numerics_geo_error"] = f"{type(exc).__name__}: {exc}"[:200]
         _note(f"geo numerics failed: {exc}")
+    _update_numerics_verdict()
 
     # warmup / compile
     val, params = vg(params, gt)
@@ -1157,9 +1247,10 @@ def main() -> None:
     # budget-starve the bake record
     if ctx is not None and _elapsed() + NUM_DENSE_S < BUDGET_S:
         try:
-            # 420s: the tiled 4K-compile leg overran a 300s deadline on a
-            # slow-tunnel run (r5 test2) with the comparison itself healthy
-            with _leg_deadline(420):
+            # 600s: two canvases (full-res pixel parity + 512^2 grad
+            # parity); a slow tunnel once ran the old one-canvas leg to
+            # 420s+ on compiles alone
+            with _leg_deadline(600):
                 _bench_numerics_dense(ctx)
         except Exception as exc:
             RESULT["numerics_dense_error"] = (
@@ -1169,21 +1260,7 @@ def main() -> None:
     elif ctx is not None:
         RESULT["numerics_dense_skipped"] = "time budget"
 
-    # numerics gate verdict over every parity field measured this run
-    gates = [
-        ("max_rel_pix", TOL_PIX), ("max_rel_grad", TOL_GRAD),
-        ("tiled_max_rel_pix", TOL_PIX), ("tiled_max_rel_grad", TOL_GRAD),
-        ("dense_max_rel_pix", TOL_PIX), ("dense_max_rel_grad", TOL_GRAD),
-        ("ssim_abs_err", TOL_SSIM),
-    ]
-    present = [(k, t) for k, t in gates if k in RESULT]
-    RESULT["numerics_ok"] = bool(present) and all(
-        RESULT[k] <= t for k, t in present
-    )
-    if not RESULT["numerics_ok"]:
-        bad = [k for k, t in present if RESULT.get(k, 0) > t] or ["absent"]
-        _note(f"NUMERICS GATE FAILED: {bad}")
-
+    _update_numerics_verdict(final=True)
     _emit()
 
 
