@@ -796,20 +796,16 @@ def _bench_numerics_dense(ctx) -> None:
 
     rv_d = dense_rendervars(params, means)
     proj = project_gaussians(rv_d, cam)
-    # the sequential oracle blends a splat's FULL 3-sigma tile rect;
     # the production binning CROPS rects spanning more than max_span=2
-    # tiles per axis, so the comparison is only valid crop-free (the
-    # bench fixture's dense radii are ~4 px, spans <= 2; guarded by the
-    # binning's own crop counter — never silent)
-    from topo4d_tpu.rasterizer.tiles import bin_gaussians
-
-    ncrop = int(bin_gaussians(proj, w, h, 2).num_cropped)
-    if ncrop > 0:
-        RESULT["dense_oracle_skipped"] = f"{ncrop} span-cropped splats"
-        _note(f"dense numerics: oracle anchor skipped ({ncrop} crops)")
-    else:
+    # tiles per axis to their top-left 2x2 sub-rect (COUNTED, documented
+    # — tiles.bin_gaussians); the oracle models the same rule below, so
+    # the comparison covers the production image INCLUDING its crop
+    # policy (at this fixture ~1/3 of dense splats span-crop)
+    if True:
         order = ref_mod.depth_sorted_order(proj)
         rx0, ry0, rx1, ry1, _, _ = ref_mod.tile_rect(proj, w, h)
+        rx1 = jnp.minimum(rx1, rx0 + 2)
+        ry1 = jnp.minimum(ry1, ry0 + 2)
         o_means2d = np.asarray(proj.means2d[order], np.float64)
         o_conics = np.asarray(proj.conics[order], np.float64)
         o_colors = np.asarray(rv_d.colors[order], np.float64)
